@@ -1,0 +1,62 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests follow the SURVEY.md section 4 strategy: an
+8-device host-platform mesh stands in for a TPU slice
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+This must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+prev = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in prev:
+    os.environ["XLA_FLAGS"] = (
+        prev + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The TPU-tunnel sitecustomize pins jax_platforms at interpreter boot; the
+# env var alone does not undo it, so force the CPU backend via jax.config.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def import_reference_diffusers():
+    """Import the reference's vendored diffusers (torch) for golden parity
+    tests, with small compatibility shims for the newer installed deps."""
+    import sys
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    import huggingface_hub
+
+    if not hasattr(huggingface_hub, "cached_download"):
+        huggingface_hub.cached_download = huggingface_hub.hf_hub_download
+
+    import jax
+
+    if not hasattr(jax.random, "KeyArray"):
+        jax.random.KeyArray = jax.Array
+    if not hasattr(jax.numpy, "DeviceArray"):
+        jax.numpy.DeviceArray = jax.Array
+
+    import diffusers  # noqa: F401  (the vendored one, via sys.path)
+
+    return diffusers
