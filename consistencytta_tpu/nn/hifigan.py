@@ -1,0 +1,118 @@
+"""HiFi-GAN vocoder generator in flax/NWC (mel -> 16 kHz waveform).
+
+Architecture parity with reference audioldm/hifigan/models.py:72-125 and the
+HIFIGAN_16K_64 config (audioldm/hifigan/utilities.py:9-39): conv_pre
+(64 -> 1024, k7) -> 5x [leaky_relu -> ConvTranspose1d upsample -> 3
+multi-dilation ResBlocks averaged] -> leaky_relu -> conv_post -> tanh.
+Upsample rates (5,4,2,2,2) multiply to the 160-sample mel hop.
+
+The reference strips weight norm at load time (utilities.py:67-73), so
+imported kernels are plain convolutions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from consistencytta_tpu.configs import HiFiGANConfig
+from consistencytta_tpu.nn.layers import conv_transpose_1d
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock(nn.Module):
+    """Multi-dilation residual block (models.py:20-63)."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+    lrelu_slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, self.lrelu_slope)
+            xt = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding=_get_padding(self.kernel_size, d),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"convs1_{i}",
+            )(xt)
+            xt = nn.leaky_relu(xt, self.lrelu_slope)
+            xt = nn.Conv(
+                self.channels,
+                (self.kernel_size,),
+                padding=_get_padding(self.kernel_size, 1),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """mel [B, T_frames, n_mels] (NWC) -> waveform [B, T_frames * 160]."""
+
+    config: HiFiGANConfig = HiFiGANConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        cfg = self.config
+        x = nn.Conv(
+            cfg.upsample_initial_channel, (7,), padding=3, dtype=self.dtype,
+            param_dtype=jnp.float32, name="conv_pre",
+        )(mel)
+
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, cfg.lrelu_slope)
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            kernel = self.param(
+                f"ups_{i}_kernel",
+                nn.initializers.normal(0.01),
+                (k, ch, cfg.upsample_initial_channel // (2**i)),
+                jnp.float32,
+            )
+            bias = self.param(
+                f"ups_{i}_bias", nn.initializers.zeros, (ch,), jnp.float32
+            )
+            x = conv_transpose_1d(
+                x, kernel.astype(self.dtype), stride=u, padding=(k - u) // 2
+            ) + bias.astype(self.dtype)
+
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                y = ResBlock(
+                    ch, rk, tuple(rd), cfg.lrelu_slope, dtype=self.dtype,
+                    name=f"resblock_{i}_{j}",
+                )(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+
+        x = nn.leaky_relu(x)  # default slope 0.01 (models.py:113 F.leaky_relu)
+        x = nn.Conv(
+            1, (7,), padding=3, dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv_post",
+        )(x)
+        return jnp.tanh(x)[..., 0]  # [B, T_samples]
+
+
+def vocoder_postprocess(wav: jax.Array) -> jax.Array:
+    """DC-center the waveform batch: wav - (max + min) / 2, with the max/min
+    taken over the WHOLE batch — an exact-parity reproduction of reference
+    vocoder_infer (audioldm/hifigan/utilities.py:76-91), which computes
+    global (not per-sample) extrema."""
+    center = (wav.max() + wav.min()) / 2.0
+    return wav - center

@@ -60,3 +60,19 @@ def import_reference_diffusers():
     import diffusers  # noqa: F401  (the vendored one, via sys.path)
 
     return diffusers
+
+
+def import_reference_audioldm():
+    """Import the reference's *trimmed* audioldm copy (easy_inference/) for
+    VAE / HiFi-GAN parity tests: unlike the full copy it has no
+    librosa/soundfile dependencies at import time."""
+    import sys
+
+    path = os.path.join(REFERENCE_ROOT, "easy_inference")
+    if path not in sys.path:
+        sys.path.append(path)  # append: full-reference diffusers keeps priority
+
+    import audioldm.hifigan as hifigan
+    import audioldm.variational_autoencoder.autoencoder as vae_mod
+
+    return vae_mod, hifigan
