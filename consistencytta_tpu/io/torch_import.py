@@ -177,6 +177,216 @@ def convert_vae_ema_decoder(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Para
 # true Conv2d modules, so they convert through conv2d_kernel like the rest.
 
 
+# -- UNet --------------------------------------------------------------------
+
+
+def _unet_resnet(sd: FlatSD, key: str) -> Params:
+    p = {
+        "norm1": _norm(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "time_emb_proj": _linear(sd, f"{key}.time_emb_proj"),
+        "norm2": _norm(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _conv(sd, f"{key}.conv_shortcut")
+    return p
+
+
+def _unet_attention(sd: FlatSD, key: str) -> Params:
+    """Transformer2DModel (use_linear_projection) -> Transformer2D params."""
+    p: Params = {
+        "norm": _norm(sd, f"{key}.norm"),
+        "proj_in": _linear(sd, f"{key}.proj_in"),
+        "proj_out": _linear(sd, f"{key}.proj_out"),
+    }
+    i = 0
+    while f"{key}.transformer_blocks.{i}.norm1.weight" in sd:
+        tb = f"{key}.transformer_blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm1": _norm(sd, f"{tb}.norm1"),
+            "attn1": {
+                "to_q": _linear(sd, f"{tb}.attn1.to_q"),
+                "to_k": _linear(sd, f"{tb}.attn1.to_k"),
+                "to_v": _linear(sd, f"{tb}.attn1.to_v"),
+                "to_out": _linear(sd, f"{tb}.attn1.to_out.0"),
+            },
+            "norm2": _norm(sd, f"{tb}.norm2"),
+            "attn2": {
+                "to_q": _linear(sd, f"{tb}.attn2.to_q"),
+                "to_k": _linear(sd, f"{tb}.attn2.to_k"),
+                "to_v": _linear(sd, f"{tb}.attn2.to_v"),
+                "to_out": _linear(sd, f"{tb}.attn2.to_out.0"),
+            },
+            "norm3": _norm(sd, f"{tb}.norm3"),
+            "ff": {
+                "act": {"proj": _linear(sd, f"{tb}.ff.net.0.proj")},
+                "proj_out": _linear(sd, f"{tb}.ff.net.2"),
+            },
+        }
+        i += 1
+    return p
+
+
+def convert_unet(sd: FlatSD, config: UNetConfig) -> Params:
+    """Guided/plain UNet torch state dict -> flax params.
+
+    Key structure follows diffusers UNet2DCondition(Guided)Model; the
+    guidance_proj/guidance_embedding keys exist only for the guided variant
+    (unet_2d_condition_guided.py:287-302)."""
+    p: Params = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1"),
+            "linear_2": _linear(sd, "time_embedding.linear_2"),
+        },
+    }
+    if config.guided:
+        p["guidance_proj"] = {"weight": sd["guidance_proj.weight"]}
+        p["guidance_embedding"] = {
+            "linear_1": _linear(sd, "guidance_embedding.linear_1"),
+            "linear_2": _linear(sd, "guidance_embedding.linear_2"),
+        }
+
+    num_levels = config.num_levels
+    for i, block_type in enumerate(config.down_block_types):
+        for j in range(config.layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _unet_resnet(sd, f"down_blocks.{i}.resnets.{j}")
+            if block_type == "CrossAttnDownBlock2D":
+                p[f"down_{i}_attn_{j}"] = _unet_attention(
+                    sd, f"down_blocks.{i}.attentions.{j}"
+                )
+        if i != num_levels - 1:
+            p[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")
+            }
+
+    p["mid_resnet_0"] = _unet_resnet(sd, "mid_block.resnets.0")
+    p["mid_attn_0"] = _unet_attention(sd, "mid_block.attentions.0")
+    p["mid_resnet_1"] = _unet_resnet(sd, "mid_block.resnets.1")
+
+    for i, block_type in enumerate(config.up_block_types):
+        for j in range(config.layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _unet_resnet(sd, f"up_blocks.{i}.resnets.{j}")
+            if block_type == "CrossAttnUpBlock2D":
+                p[f"up_{i}_attn_{j}"] = _unet_attention(
+                    sd, f"up_blocks.{i}.attentions.{j}"
+                )
+        if i != num_levels - 1:
+            p[f"up_{i}_upsample"] = {"conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")}
+
+    p["conv_norm_out"] = _norm(sd, "conv_norm_out")
+    p["conv_out"] = _conv(sd, "conv_out")
+    return p
+
+
+# -- T5 encoder --------------------------------------------------------------
+
+
+def convert_t5(sd: FlatSD, num_layers: int) -> Params:
+    """HF torch T5EncoderModel state dict -> T5Encoder flax params.
+
+    Accepts both `encoder.block...`-rooted dicts (T5EncoderModel) and
+    bare `block...` roots."""
+
+    def key(k: str) -> str:
+        return k if k in sd else f"encoder.{k}"
+
+    def lin(k: str) -> Params:
+        return {"kernel": linear_kernel(sd[key(k)])}
+
+    p: Params = {
+        "token_embedding": sd["shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"],
+        "relative_attention_bias": sd[
+            key("block.0.layer.0.SelfAttention.relative_attention_bias.weight")
+        ],
+        "final_norm": {"scale": sd[key("final_layer_norm.weight")]},
+    }
+    for i in range(num_layers):
+        b = f"block.{i}"
+        p[f"block_{i}"] = {
+            "attn_norm": {"scale": sd[key(f"{b}.layer.0.layer_norm.weight")]},
+            "attn": {
+                "q": lin(f"{b}.layer.0.SelfAttention.q.weight"),
+                "k": lin(f"{b}.layer.0.SelfAttention.k.weight"),
+                "v": lin(f"{b}.layer.0.SelfAttention.v.weight"),
+                "o": lin(f"{b}.layer.0.SelfAttention.o.weight"),
+            },
+            "ff_norm": {"scale": sd[key(f"{b}.layer.1.layer_norm.weight")]},
+            "wi_0": lin(f"{b}.layer.1.DenseReluDense.wi_0.weight"),
+            "wi_1": lin(f"{b}.layer.1.DenseReluDense.wi_1.weight"),
+            "wo": lin(f"{b}.layer.1.DenseReluDense.wo.weight"),
+        }
+    return p
+
+
+# -- ConsistencyTTA checkpoint key surgery ----------------------------------
+
+UNET_ROLES = ("teacher", "student", "student_target", "student_ema")
+
+
+def split_consistencytta_checkpoint(
+    sd: FlatSD,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a full ConsistencyTTA model state dict (pytorch_model_2.bin)
+    into per-role UNet state dicts, applying the legacy-name remapping of
+    models/audio_consistency_model.py:160-204:
+
+      consistency_unet.*       -> student_unet.*
+      consistency_ema_unet.*   -> student_target_unet.* (+ student_ema if absent)
+      consistency_slow_ema_unet.* -> student_ema_unet.*
+      diffusion_unet.*         -> teacher_unet.*
+    """
+    remapped: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if "consistency_slow_ema_" in k:
+            remapped["student_ema_" + k.split("consistency_slow_ema_")[-1]] = v
+        elif "consistency_ema_" in k:
+            tail = k.split("consistency_ema_")[-1]
+            remapped.setdefault("student_target_" + tail, v)
+            remapped.setdefault("student_ema_" + tail, v)
+        elif "consistency_unet" in k:
+            remapped["student_unet" + k.split("consistency_unet")[-1]] = v
+        elif "diffusion_unet" in k:
+            remapped["teacher_unet" + k.split("diffusion_unet")[-1]] = v
+        else:
+            remapped.setdefault(k, v)
+
+    roles: Dict[str, Dict[str, np.ndarray]] = {r: {} for r in UNET_ROLES}
+    for k, v in remapped.items():
+        for role in UNET_ROLES:
+            prefix = f"{role}_unet."
+            if k.startswith(prefix):
+                roles[role][k[len(prefix) :]] = v
+                break
+    return roles
+
+
+def fan_out_tango_checkpoint(
+    tango_sd: FlatSD, stage1_sd: Optional[FlatSD] = None
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """TANGO -> ConsistencyTTA initialization fan-out
+    (models/audio_consistency_model.py:107-158): the TANGO `unet.*` weights
+    become the teacher; student/target/ema initialize from the stage-1
+    student-EMA weights when given, else from the teacher."""
+    teacher = {
+        k[len("unet.") :]: v for k, v in tango_sd.items() if k.startswith("unet.")
+    }
+    roles = {"teacher": teacher}
+    if stage1_sd is not None:
+        stage1_ema = {
+            k.split("student_ema_unet.")[-1]: v
+            for k, v in stage1_sd.items()
+            if "student_ema_unet." in k
+        }
+        init = stage1_ema
+    else:
+        init = teacher
+    for role in ("student", "student_target", "student_ema"):
+        roles[role] = dict(init)
+    return roles
+
+
 # -- HiFi-GAN ----------------------------------------------------------------
 
 
