@@ -265,6 +265,29 @@ class PipelineConfig(JsonConfig):
     target_mel_frames: int = 1024
 
     @classmethod
+    def tiny(cls) -> "PipelineConfig":
+        """Shrunken pipeline with production topology (4-level UNet, 4x VAE,
+        160x vocoder, T5): 0.64-s clips, 64 mel frames, latent 16x16x8.
+        Used by tests and the multichip dry-run."""
+        return cls(
+            unet=UNetConfig(
+                block_out_channels=(16, 16, 32, 32),
+                attention_head_dim=(2, 2, 4, 4),
+                cross_attention_dim=32,
+                norm_num_groups=8,
+            ),
+            vae=VAEConfig(base_channels=16, norm_num_groups=8, scale_factor=0.9),
+            vocoder=HiFiGANConfig(upsample_initial_channel=64),
+            t5=T5Config(
+                vocab_size=256, d_model=32, d_kv=16, d_ff=64,
+                num_layers=2, num_heads=2,
+            ),
+            latent=LatentShape(t=16, f=16, c=8),
+            segment_samples=64 * 160,
+            target_mel_frames=64,
+        )
+
+    @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "PipelineConfig":
         def sub(klass, key):
             v = d.get(key)

@@ -1,0 +1,7 @@
+from consistencytta_tpu.inference.generate import (
+    GenerateConfig,
+    build_generate_fn,
+    build_teacher_generate_fn,
+)
+
+__all__ = ["GenerateConfig", "build_generate_fn", "build_teacher_generate_fn"]

@@ -34,17 +34,18 @@ class ResnetBlock(nn.Module):
     """VAE resnet block (modules.py:118-175); no time embedding (temb_ch=0)."""
 
     out_channels: int
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm(32, 1e-6, name="norm1")(x)
+        h = GroupNorm(self.groups, 1e-6, name="norm1")(x)
         h = swish(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=jnp.float32, name="conv1",
         )(h)
-        h = GroupNorm(32, 1e-6, name="norm2")(h)
+        h = GroupNorm(self.groups, 1e-6, name="norm2")(h)
         h = swish(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -61,12 +62,13 @@ class ResnetBlock(nn.Module):
 class AttnBlock(nn.Module):
     """Single-head vanilla spatial attention (modules.py:185-230)."""
 
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hidden = GroupNorm(32, 1e-6, name="norm")(x)
+        hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="q")(hidden)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="k")(hidden)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="v")(hidden)
@@ -110,7 +112,7 @@ class Encoder(nn.Module):
         for i_level, mult in enumerate(cfg.ch_mult):
             for i_block in range(cfg.num_res_blocks):
                 h = ResnetBlock(
-                    ch * mult, dtype=self.dtype,
+                    ch * mult, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h)
             if i_level != num_levels - 1:
@@ -122,11 +124,11 @@ class Encoder(nn.Module):
                 )(h)
 
         block_in = ch * cfg.ch_mult[-1]
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_1")(h)
+        h = AttnBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
 
-        h = GroupNorm(32, cfg.norm_eps, name="norm_out")(h)
+        h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="norm_out")(h)
         h = swish(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         h = nn.Conv(
@@ -153,15 +155,15 @@ class Decoder(nn.Module):
             block_in, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
             name="conv_in",
         )(z)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_1")(h)
+        h = AttnBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn_1")(h)
+        h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
 
         for i_level in reversed(range(num_levels)):
             block_out = ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
                 h = ResnetBlock(
-                    block_out, dtype=self.dtype,
+                    block_out, cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h)
             if i_level != 0:
@@ -171,7 +173,7 @@ class Decoder(nn.Module):
                     param_dtype=jnp.float32, name=f"up_{i_level}_upsample",
                 )(h)
 
-        h = GroupNorm(32, cfg.norm_eps, name="norm_out")(h)
+        h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="norm_out")(h)
         h = swish(h)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
