@@ -1,0 +1,190 @@
+"""Batch test-set generation + evaluation CLI.
+
+TPU-native equivalent of reference inference.py: replays train flags from
+summary.jsonl, generates the test set batch-wise through the single jitted
+graph, writes wavs, and (optionally) runs the evaluation harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ConsistencyTTA-TPU inference")
+    p.add_argument("--original_args", type=str, default=None,
+                   help="summary.jsonl from training (config replay)")
+    p.add_argument("--model", type=str, default=None,
+                   help="pytorch_model_2.bin or orbax checkpoint dir")
+    p.add_argument("--vae_checkpoint", type=str, default=None)
+    p.add_argument("--unet_model_config", type=str, default=None)
+    p.add_argument("--test_file", type=str, default="data/test_audiocaps_subset.json")
+    p.add_argument("--test_references", type=str, default=None)
+    p.add_argument("--text_column", type=str, default="captions")
+    p.add_argument("--audio_column", type=str, default="location")
+    p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
+    p.add_argument("--stage", type=int, default=2)
+    p.add_argument("--guidance_scale_input", type=float, default=4.0)
+    p.add_argument("--guidance_scale_post", type=float, default=1.0)
+    p.add_argument("--num_steps", type=int, default=1)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--use_edm", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--use_bf16", action="store_true")
+    p.add_argument("--query_teacher", action="store_true",
+                   help="also generate with the multi-step teacher")
+    p.add_argument("--num_teacher_steps", type=int, default=18)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--text_len", type=int, default=64)
+    p.add_argument("--skip_eval", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from cli.common import (
+        build_pipeline_config,
+        load_frozen_and_roles,
+        read_config_replay,
+    )
+    from consistencytta_tpu.inference.generate import (
+        GenerateConfig,
+        build_generate_fn,
+        build_teacher_generate_fn,
+    )
+    from consistencytta_tpu.io.audio import write_wav
+    from consistencytta_tpu.models.pipeline import Pipeline
+    from consistencytta_tpu.text.tokenizer import load_tokenizer, tokenize_with_uncond
+    from consistencytta_tpu.training.data import T2ADataset
+
+    args = parse_args(argv)
+    if args.original_args:
+        replay = read_config_replay(args.original_args)
+        for key in ("unet_model_config", "use_edm", "text_encoder_name"):
+            if key in replay and getattr(args, key, None) in (None, False):
+                setattr(args, key, replay[key])
+
+    config = build_pipeline_config(args)
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    pipeline = Pipeline.create(config, dtype=dtype)
+
+    is_orbax = args.model and os.path.isdir(args.model)
+    params = load_frozen_and_roles(
+        pipeline,
+        model_path=None if is_orbax else args.model,
+        vae_checkpoint=args.vae_checkpoint,
+        random_init_rng=jax.random.PRNGKey(args.seed) if args.random_init else None,
+        text_len=args.text_len,
+    )
+    if is_orbax:
+        from consistencytta_tpu.io.checkpoints import load_checkpoint
+
+        state, frozen, _ = load_checkpoint(args.model)
+        params.student = state["student"]
+        params.student_target = state["student_target"]
+        params.student_ema = state["student_ema"]
+        if frozen:
+            for k in ("teacher", "vae", "vocoder", "t5"):
+                if frozen.get(k) is not None:
+                    setattr(params, k, frozen[k])
+
+    gen_cfg = GenerateConfig(
+        num_steps=args.num_steps,
+        guidance_post=args.guidance_scale_post,
+        use_ema=args.use_ema,
+        use_edm=args.use_edm,
+    )
+    generate = build_generate_fn(pipeline, gen_cfg)
+    teacher_generate = (
+        build_teacher_generate_fn(pipeline, args.num_teacher_steps, args.use_edm)
+        if args.query_teacher
+        else None
+    )
+
+    dataset = T2ADataset.from_json(
+        args.test_file, args.text_column, args.audio_column,
+        segment_length=config.segment_samples,
+    )
+    tokenizer = load_tokenizer(args.text_encoder_name)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(args.seed)
+    all_names, t_total = [], 0.0
+    b = args.batch_size
+
+    for start in range(0, len(dataset), b):
+        caps = dataset.captions[start : start + b]
+        pad = b - len(caps)
+        caps_padded = caps + [""] * pad
+        ids, mask, uids, umask = tokenize_with_uncond(
+            tokenizer, caps_padded, args.text_len
+        )
+        rng, step_rng = jax.random.split(rng)
+        t0 = time.time()
+        wav = generate(
+            params, ids, mask, uids, umask, step_rng,
+            np.float32(args.guidance_scale_input),
+        )
+        wav = np.asarray(jax.block_until_ready(wav))
+        t_total += time.time() - t0
+
+        for i, cap in enumerate(caps):
+            name = f"output_{start + i}.wav"
+            src = os.path.basename(dataset.paths[start + i])
+            if src.endswith(".wav"):
+                name = src
+            write_wav(
+                os.path.join(args.output_dir, name), wav[i], config.sample_rate
+            )
+            all_names.append(name)
+
+        if teacher_generate is not None:
+            rng, tea_rng = jax.random.split(rng)
+            tea_wav = np.asarray(
+                teacher_generate(
+                    params, ids, mask, uids, umask, tea_rng,
+                    np.float32(args.guidance_scale_input),
+                )
+            )
+            tea_dir = args.output_dir + "_teacher"
+            os.makedirs(tea_dir, exist_ok=True)
+            for i, cap in enumerate(caps):
+                write_wav(
+                    os.path.join(tea_dir, all_names[start + i]),
+                    tea_wav[i],
+                    config.sample_rate,
+                )
+
+    print(f"Generated {len(all_names)} clips in {t_total:.1f}s "
+          f"({len(all_names) / max(t_total, 1e-9):.2f} clips/s)")
+
+    result = {"num_clips": len(all_names), "gen_seconds": t_total}
+    if args.test_references and not args.skip_eval:
+        from consistencytta_tpu.evaluation.harness import EvaluationHelper
+
+        helper = EvaluationHelper(sampling_rate=config.sample_rate)
+        metrics = helper.main(
+            args.output_dir, args.test_references,
+            captions={n: c for n, c in zip(all_names, dataset.captions)},
+        )
+        result.update(metrics)
+        print(json.dumps(metrics, indent=2))
+
+    with open(os.path.join(args.output_dir, "summary.jsonl"), "a") as f:
+        f.write(json.dumps({**vars(args), **result}, default=str) + "\n")
+
+
+if __name__ == "__main__":
+    main()

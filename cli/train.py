@@ -1,0 +1,250 @@
+"""Three-stage distillation trainer CLI.
+
+TPU-native equivalent of reference train.py: same flag surface (train.sh
+recipes apply verbatim), but the training step is one jitted device program
+over a data-parallel mesh instead of an Accelerate DDP loop.
+
+Stage 1: guided diffusion distillation (AudioGDM equivalent).
+Stage 2: consistency distillation (AudioLCM), --use_edm for the shipped
+         Heun/EDM recipe; stage 3 is stage 2 with --loss_type clap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train ConsistencyTTA-TPU")
+    # data
+    p.add_argument("--stage", type=int, choices=[1, 2], default=2)
+    p.add_argument("--train_file", type=str, default="data/train_audiocaps.json")
+    p.add_argument("--validation_file", type=str, default="data/valid_audiocaps.json")
+    p.add_argument("--test_file", type=str, default="data/test_audiocaps_subset.json")
+    p.add_argument("--num_examples", type=int, default=-1)
+    p.add_argument("--text_column", type=str, default="captions")
+    p.add_argument("--audio_column", type=str, default="location")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--uncondition", action="store_true")
+    p.add_argument("--prefix", type=str, default=None)
+    # models
+    p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
+    p.add_argument("--scheduler_name", type=str, default="stabilityai/stable-diffusion-2-1")
+    p.add_argument("--unet_model_config", type=str, default=None)
+    p.add_argument("--tango_model", type=str, default=None)
+    p.add_argument("--stage1_model", type=str, default=None)
+    p.add_argument("--vae_checkpoint", type=str, default=None,
+                   help="audioldm-s-full.ckpt (VAE + vocoder weights)")
+    p.add_argument("--random_init", action="store_true",
+                   help="random-init any missing weights (dev/smoke mode)")
+    p.add_argument("--freeze_text_encoder", action="store_true", default=False)
+    p.add_argument("--use_lora", action="store_true")
+    p.add_argument("--finetune_vae", action="store_true")
+    # recipe
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--loss_type", type=str, default="mse",
+                   choices=["mse", "mel", "stft", "clap"])
+    p.add_argument("--use_edm", action="store_true")
+    p.add_argument("--use_karras", action="store_true")
+    p.add_argument("--use_bf16", action="store_true")
+    p.add_argument("--num_diffusion_steps", type=int, default=18)
+    p.add_argument("--teacher_guidance_scale", type=float, default=1)
+    p.add_argument("--target_ema_decay", type=float, default=0.95)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    # optimization
+    p.add_argument("--per_device_train_batch_size", type=int, default=2)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=3e-5)
+    p.add_argument("--num_train_epochs", type=int, default=40)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--lr_scheduler_type", type=str, default="linear")
+    p.add_argument("--num_warmup_steps", type=int, default=0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    # checkpointing / logging
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--checkpointing_steps", type=str, default="best")
+    p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--starting_epoch", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--with_tracking", action="store_true")
+    p.add_argument("--text_len", type=int, default=64,
+                   help="fixed tokenized text length (static shapes)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from cli.common import (
+        append_config_replay,
+        build_pipeline_config,
+        load_frozen_and_roles,
+    )
+    from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
+    from consistencytta_tpu.ops.schedulers import (
+        make_ddim_schedule,
+        make_ddpm_schedule,
+        make_heun_schedule,
+    )
+    from consistencytta_tpu.parallel.mesh import make_mesh, device_put_replicated, sharded_step
+    from consistencytta_tpu.text.tokenizer import load_tokenizer
+    from consistencytta_tpu.training.data import DataLoader, T2ADataset
+    from consistencytta_tpu.training.loop import LoopConfig, train_loop
+    from consistencytta_tpu.training.optim import OptimizerConfig, make_optimizer
+    from consistencytta_tpu.training.step import (
+        ConsistencyStepConfig,
+        GuidedStepConfig,
+        TrainState,
+        build_consistency_train_step,
+        build_guided_train_step,
+        build_validation_step,
+    )
+    from consistencytta_tpu.io.checkpoints import load_checkpoint
+
+    args = parse_args(argv)
+    if args.output_dir is None:
+        args.output_dir = f"saved/stage{args.stage}_run"
+    append_config_replay(args.output_dir, args)
+
+    seed = args.seed if args.seed is not None else 0
+    config = build_pipeline_config(args)
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    pipeline = Pipeline.create(config, dtype=dtype)
+
+    params = load_frozen_and_roles(
+        pipeline,
+        tango_model=args.tango_model,
+        stage1_model=args.stage1_model,
+        vae_checkpoint=args.vae_checkpoint,
+        random_init_rng=jax.random.PRNGKey(seed) if args.random_init else None,
+        text_len=args.text_len,
+    )
+    frozen = PipelineParams(
+        teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
+        t5=params.t5,
+    )
+
+    # data
+    tokenizer = load_tokenizer(args.text_encoder_name)
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    global_batch = (
+        args.per_device_train_batch_size * n_dev * args.gradient_accumulation_steps
+    )
+    train_ds = T2ADataset.from_json(
+        args.train_file, args.text_column, args.audio_column, args.num_examples,
+        segment_length=config.segment_samples,
+    )
+    val_ds = T2ADataset.from_json(
+        args.validation_file, args.text_column, args.audio_column,
+        segment_length=config.segment_samples,
+    )
+
+    def make_train_loader(epoch):
+        return DataLoader(
+            train_ds, tokenizer, global_batch, args.text_len,
+            augment=args.augment, shuffle=True, seed=seed + epoch,
+        )
+
+    def make_eval_loader():
+        return DataLoader(
+            val_ds, tokenizer, args.per_device_eval_batch_size * n_dev,
+            args.text_len, augment=False, shuffle=False, seed=seed,
+        )
+
+    # optimizer
+    steps_per_epoch = max(len(train_ds) // global_batch, 1)
+    max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
+    tx = make_optimizer(
+        OptimizerConfig(
+            learning_rate=args.learning_rate,
+            adam_beta1=args.adam_beta1,
+            adam_beta2=args.adam_beta2,
+            adam_epsilon=args.adam_epsilon,
+            weight_decay=args.adam_weight_decay,
+            num_warmup_steps=args.num_warmup_steps,
+            max_train_steps=max_steps,
+        )
+    )
+
+    # steps
+    if args.stage == 1:
+        sched = make_ddpm_schedule(config.scheduler)
+        step_fn = build_guided_train_step(
+            pipeline, sched, tx,
+            GuidedStepConfig(
+                snr_gamma=args.snr_gamma,
+                teacher_guidance_scale=args.teacher_guidance_scale,
+                ema_decay=args.ema_decay,
+                accum_steps=args.gradient_accumulation_steps,
+            ),
+        )
+        validate_fn = None
+        state = TrainState.create(params, tx, with_target=False)
+    else:
+        if args.use_edm:
+            sched = make_heun_schedule(
+                config.scheduler, args.num_diffusion_steps, args.use_karras
+            )
+        else:
+            sched = make_ddim_schedule(config.scheduler, args.num_diffusion_steps)
+        step_cfg = ConsistencyStepConfig(
+            snr_gamma=args.snr_gamma,
+            teacher_guidance_scale=args.teacher_guidance_scale,
+            target_ema_decay=args.target_ema_decay,
+            ema_decay=args.ema_decay,
+            loss_type=args.loss_type,
+            use_edm=args.use_edm,
+            accum_steps=args.gradient_accumulation_steps,
+        )
+        step_fn = build_consistency_train_step(pipeline, sched, tx, step_cfg)
+        validate_fn = (
+            jax.jit(
+                build_validation_step(
+                    pipeline,
+                    sched if args.use_edm
+                    else make_heun_schedule(config.scheduler, args.num_diffusion_steps),
+                    step_cfg,
+                )
+            )
+            if args.use_edm
+            else None
+        )
+        state = TrainState.create(params, tx)
+
+    step_fn = sharded_step(step_fn, mesh, donate_state=True)
+    state = device_put_replicated(state, mesh)
+    frozen = device_put_replicated(frozen, mesh)
+
+    if args.resume_from_checkpoint:
+        state, _, _ = load_checkpoint(
+            args.resume_from_checkpoint, state_template=jax.device_get(state)
+        )
+        state = device_put_replicated(state, mesh)
+
+    loop_cfg = LoopConfig(
+        num_epochs=args.num_train_epochs,
+        output_dir=args.output_dir,
+        save_every=args.save_every,
+        eval_batches=max(100 // (args.per_device_eval_batch_size * n_dev), 1),
+        starting_epoch=args.starting_epoch,
+        seed=seed,
+    )
+    train_loop(
+        step_fn, validate_fn, state, frozen, make_train_loader, make_eval_loader,
+        loop_cfg, mesh=mesh, pipeline_config=config,
+    )
+
+
+if __name__ == "__main__":
+    main()
