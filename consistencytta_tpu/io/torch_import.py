@@ -302,9 +302,11 @@ def convert_t5(sd: FlatSD, num_layers: int) -> Params:
         ],
         "final_norm": {"scale": sd[key("final_layer_norm.weight")]},
     }
+    # the T5 stack runs as nn.scan with layer-stacked params
+    per_layer = []
     for i in range(num_layers):
         b = f"block.{i}"
-        p[f"block_{i}"] = {
+        per_layer.append({
             "attn_norm": {"scale": sd[key(f"{b}.layer.0.layer_norm.weight")]},
             "attn": {
                 "q": lin(f"{b}.layer.0.SelfAttention.q.weight"),
@@ -316,7 +318,14 @@ def convert_t5(sd: FlatSD, num_layers: int) -> Params:
             "wi_0": lin(f"{b}.layer.1.DenseReluDense.wi_0.weight"),
             "wi_1": lin(f"{b}.layer.1.DenseReluDense.wi_1.weight"),
             "wo": lin(f"{b}.layer.1.DenseReluDense.wo.weight"),
-        }
+        })
+    import jax
+
+    p["blocks"] = {
+        "layer": jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *per_layer
+        )
+    }
     return p
 
 

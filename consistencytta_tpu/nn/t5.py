@@ -117,6 +117,20 @@ class T5Block(nn.Module):
         return x + dense(cfg.d_model, "wo")(ff)
 
 
+class _ScannedT5Block(nn.Module):
+    """Scan body: (carry, mask_bias, position_bias) -> (carry, None)."""
+
+    config: T5Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, mask_bias, position_bias):
+        y = T5Block(self.config, dtype=self.dtype, name="layer")(
+            carry, mask_bias, position_bias
+        )
+        return y, None
+
+
 class T5Encoder(nn.Module):
     """input_ids [B, L], attention_mask [B, L] -> hidden states [B, L, d]."""
 
@@ -154,10 +168,17 @@ class T5Encoder(nn.Module):
             attention_mask[:, None, None, :] > 0, 0.0, -1e9
         ).astype(jnp.float32)
 
-        for i in range(cfg.num_layers):
-            x = T5Block(cfg, dtype=self.dtype, name=f"block_{i}")(
-                x, mask_bias, position_bias
-            )
+        # scan over the 24 identical layers with stacked params: keeps the
+        # HLO O(1) in depth (compile-time critical on TPU) and is the
+        # idiomatic XLA formulation of a homogeneous transformer stack
+        scan = nn.scan(
+            _ScannedT5Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )
+        x, _ = scan(cfg, self.dtype, name="blocks")(x, mask_bias, position_bias)
 
         x = RMSNorm(cfg.layer_norm_epsilon, name="final_norm")(x)
         return x.astype(jnp.float32)
