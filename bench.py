@@ -61,7 +61,7 @@ def main() -> None:
     )
     wav.block_until_ready()
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         wav = generate(

@@ -93,6 +93,105 @@ def _tree_mean(trees):
     return jax.tree_util.tree_map(lambda x: x.mean(axis=0), trees)
 
 
+def consistency_forward(
+    pipeline: Pipeline,
+    schedule,
+    cfg: "ConsistencyStepConfig",
+    student_params: Params,
+    target_params: Params,
+    frozen: PipelineParams,
+    micro,
+    rng,
+):
+    """The stage-2/3 consistency forward shared by the standard and FTVAE
+    steps (models/audio_consistency_model.py:239-427): sample adjacent
+    solver steps, noise, run the CFG teacher solver step(s), evaluate the
+    EMA target net (ground truth at t=0) and the trainable student.
+
+    Returns (student_pred zhat_0_from_{n+1}, target zhat_0_from_n, snr [B]).
+    """
+    use_edm = cfg.use_edm
+    n = schedule.num_steps if use_edm else schedule.num_inference_steps
+
+    wav, ids, mask = micro["wav"], micro["ids"], micro["mask"]
+    uids, umask = micro["uncond_ids"], micro["uncond_mask"]
+    b = wav.shape[0]
+    r_enc, r_u, r_eps, r_w = jax.random.split(rng, 4)
+
+    # ground-truth latents + text (both frozen paths)
+    z0 = jax.lax.stop_gradient(pipeline.encode_audio(frozen.vae, wav, r_enc))
+    text_cf, mask_cf, text, mask_c = pipeline.encode_text_cfg(
+        frozen.t5, ids, mask, uids, umask
+    )
+    text_cf = jax.lax.stop_gradient(text_cf)
+    text = jax.lax.stop_gradient(text)
+
+    # adjacent solver steps t_{n+1}=t[u], t_n=t[u+1]
+    # (audio_consistency_model.py:268-290; EDM samples even duplicated
+    # indices == unique indices 0..n-2)
+    u = jax.random.randint(r_u, (b,), 0, n - 1)
+
+    # per-sample random guidance w ~ Unif(0, 6) (:325-329)
+    if cfg.teacher_guidance_scale == -1.0:
+        w = jax.random.uniform(r_w, (b,)) * cfg.max_rand_guidance_scale
+    else:
+        w = jnp.full((b,), cfg.teacher_guidance_scale)
+
+    eps = jax.random.normal(r_eps, z0.shape)
+
+    if use_edm:
+        sigma_u = schedule.sigmas[u]
+        sigma_next = schedule.sigmas[u + 1]
+        t_u = schedule.timesteps[u]
+        t_next = schedule.timesteps[u + 1]
+
+        z_noisy = schedule.add_noise(z0, eps, sigma_u)
+        # final-step resample to pure noise (:311-320)
+        is_last = (u == 0).reshape((-1,) + (1,) * (z0.ndim - 1))
+        z_np1 = jnp.where(is_last, eps * schedule.init_noise_sigma, z_noisy)
+
+        def teacher_fn(z_scaled, t, sigma):
+            return pipeline.query_teacher_cfg(
+                frozen.teacher, z_scaled, t, text_cf, mask_cf, w
+            )
+
+        zhat_n, _ = schedule.heun_pair(
+            z_np1, sigma_u, sigma_next, teacher_fn, t_u, t_next
+        )
+        zhat_n = jax.lax.stop_gradient(zhat_n)
+        z_np1_scaled = schedule.scale_model_input(z_np1, sigma_u)
+        zhat_n_scaled = schedule.scale_model_input(zhat_n, sigma_next)
+        snr = schedule.snr(u)
+    else:
+        t_u = schedule.timesteps[u]
+        t_next = schedule.timesteps[u + 1]
+        z_noisy = schedule.add_noise(z0, eps, t_u)
+        is_last = (u == 0).reshape((-1,) + (1,) * (z0.ndim - 1))
+        z_np1 = jnp.where(is_last, eps, z_noisy)
+
+        eps_pred = pipeline.query_teacher_cfg(
+            frozen.teacher, z_np1, t_u, text_cf, mask_cf, w
+        )
+        zhat_n = jax.lax.stop_gradient(schedule.step(eps_pred, t_u, z_np1))
+        z_np1_scaled = z_np1
+        zhat_n_scaled = zhat_n
+        snr = schedule.snr(t_u)
+
+    # target network on the teacher-stepped latent; ground truth at t=0
+    # (:409-418)
+    zhat_0_from_n = pipeline.query_student(
+        target_params, zhat_n_scaled, t_next, text, mask_c, w
+    )
+    at_zero = (t_next == 0.0).reshape((-1,) + (1,) * (z0.ndim - 1))
+    zhat_0_from_n = jax.lax.stop_gradient(jnp.where(at_zero, z0, zhat_0_from_n))
+
+    # trainable student on the noisier latent (:420-423)
+    zhat_0_from_np1 = pipeline.query_student(
+        student_params, z_np1_scaled, t_u, text, mask_c, w
+    )
+    return zhat_0_from_np1, zhat_0_from_n, snr
+
+
 def build_consistency_train_step(
     pipeline: Pipeline,
     schedule,  # HeunSchedule (use_edm) or DDIMSchedule
@@ -109,9 +208,9 @@ def build_consistency_train_step(
     use_edm = cfg.use_edm
     n = schedule.num_steps if use_edm else schedule.num_inference_steps
 
-    def instance_loss(pred, target, frozen):
+    def instance_loss(pred, target, frozen, micro):
         if loss_fn_override is not None:
-            return loss_fn_override(pred, target, frozen)
+            return loss_fn_override(pred, target, frozen, micro)
         if cfg.loss_type == "mse":
             return mse_instance(pred, target)
         if cfg.loss_type == "mel":
@@ -122,89 +221,12 @@ def build_consistency_train_step(
         raise ValueError(f"unsupported loss type {cfg.loss_type}")
 
     def micro_loss(student_params, state, frozen, micro, rng):
-        wav, ids, mask = micro["wav"], micro["ids"], micro["mask"]
-        uids, umask = micro["uncond_ids"], micro["uncond_mask"]
-        b = wav.shape[0]
-        r_enc, r_u, r_eps, r_w = jax.random.split(rng, 4)
-
-        # ground-truth latents + text (both frozen paths)
-        z0 = jax.lax.stop_gradient(
-            pipeline.encode_audio(frozen.vae, wav, r_enc)
-        )
-        text_cf, mask_cf, text, mask_c = pipeline.encode_text_cfg(
-            frozen.t5, ids, mask, uids, umask
-        )
-        text_cf = jax.lax.stop_gradient(text_cf)
-        text = jax.lax.stop_gradient(text)
-
-        # adjacent solver steps t_{n+1}=t[u], t_n=t[u+1]
-        # (audio_consistency_model.py:268-290; EDM samples even duplicated
-        # indices == unique indices 0..n-2)
-        u = jax.random.randint(r_u, (b,), 0, n - 1)
-
-        # per-sample random guidance w ~ Unif(0, 6) (:325-329)
-        if cfg.teacher_guidance_scale == -1.0:
-            w = jax.random.uniform(r_w, (b,)) * cfg.max_rand_guidance_scale
-        else:
-            w = jnp.full((b,), cfg.teacher_guidance_scale)
-
-        eps = jax.random.normal(r_eps, z0.shape)
-
-        if use_edm:
-            sigma_u = schedule.sigmas[u]
-            sigma_next = schedule.sigmas[u + 1]
-            t_u = schedule.timesteps[u]
-            t_next = schedule.timesteps[u + 1]
-
-            z_noisy = schedule.add_noise(z0, eps, sigma_u)
-            # final-step resample to pure noise (:311-320)
-            is_last = (u == 0).reshape((-1,) + (1,) * (z0.ndim - 1))
-            z_np1 = jnp.where(is_last, eps * schedule.init_noise_sigma, z_noisy)
-
-            def teacher_fn(z_scaled, t, sigma):
-                return pipeline.query_teacher_cfg(
-                    frozen.teacher, z_scaled, t, text_cf, mask_cf, w
-                )
-
-            zhat_n, _ = schedule.heun_pair(
-                z_np1, sigma_u, sigma_next, teacher_fn, t_u, t_next
-            )
-            zhat_n = jax.lax.stop_gradient(zhat_n)
-            z_np1_scaled = schedule.scale_model_input(z_np1, sigma_u)
-            zhat_n_scaled = schedule.scale_model_input(zhat_n, sigma_next)
-            snr = schedule.snr(u)
-        else:
-            t_u = schedule.timesteps[u]
-            t_next = schedule.timesteps[u + 1]
-            z_noisy = schedule.add_noise(z0, eps, t_u)
-            is_last = (u == 0).reshape((-1,) + (1,) * (z0.ndim - 1))
-            z_np1 = jnp.where(is_last, eps, z_noisy)
-
-            eps_pred = pipeline.query_teacher_cfg(
-                frozen.teacher, z_np1, t_u, text_cf, mask_cf, w
-            )
-            zhat_n = jax.lax.stop_gradient(schedule.step(eps_pred, t_u, z_np1))
-            z_np1_scaled = z_np1
-            zhat_n_scaled = zhat_n
-            snr = schedule.snr(t_u)
-
-        # target network on the teacher-stepped latent; ground truth at t=0
-        # (:409-418)
         target_params = jax.lax.stop_gradient(state.student_target)
-        zhat_0_from_n = pipeline.query_student(
-            target_params, zhat_n_scaled, t_next, text, mask_c, w
+        pred, target, snr = consistency_forward(
+            pipeline, schedule, cfg, student_params, target_params, frozen,
+            micro, rng,
         )
-        at_zero = (t_next == 0.0).reshape((-1,) + (1,) * (z0.ndim - 1))
-        zhat_0_from_n = jax.lax.stop_gradient(
-            jnp.where(at_zero, z0, zhat_0_from_n)
-        )
-
-        # trainable student on the noisier latent (:420-423)
-        zhat_0_from_np1 = pipeline.query_student(
-            student_params, z_np1_scaled, t_u, text, mask_c, w
-        )
-
-        inst = instance_loss(zhat_0_from_np1, zhat_0_from_n, frozen)
+        inst = instance_loss(pred, target, frozen, micro)
         if cfg.snr_gamma is not None:
             inst = inst * min_snr_weights_stage2(snr, cfg.snr_gamma)
         return inst.mean()
