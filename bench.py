@@ -40,12 +40,19 @@ def main() -> None:
     )
     from consistencytta_tpu.models.pipeline import Pipeline
 
-    batch = 32
+    # batch 16: batch 32 (the reference eval batch) exceeds one v5e chip's
+    # HBM through the vocoder intermediates at fp32 params; inference params
+    # are cast to bf16 (the reference evaluates under bf16 autocast too,
+    # inference.sh --use_bf16)
+    batch = 16
     text_len = 64
 
     config = PipelineConfig()
     pipeline = Pipeline.create(config, dtype=jnp.bfloat16)
     params = pipeline.init_params(jax.random.PRNGKey(0), text_len=text_len)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
     generate = build_generate_fn(pipeline, GenerateConfig(num_steps=1))
 
     rng_np = np.random.default_rng(0)

@@ -12,6 +12,18 @@ import jax.numpy as jnp
 from consistencytta_tpu.configs import PipelineConfig, UNetConfig, VAEConfig
 from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
 
+# persistent XLA compile cache for all CLIs: full-pipeline graphs take
+# minutes to compile; subsequent runs reuse the cached executables
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def build_pipeline_config(args) -> PipelineConfig:
     base = PipelineConfig()

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--stage1_model", type=str, default=None)
     p.add_argument("--vae_checkpoint", type=str, default=None,
                    help="audioldm-s-full.ckpt (VAE + vocoder weights)")
+    p.add_argument("--clap_checkpoint", type=str,
+                   default="ckpt/music_audioset_epoch_15_esc_90.14.pt",
+                   help="LAION-CLAP checkpoint for --loss_type clap")
     p.add_argument("--random_init", action="store_true",
                    help="random-init any missing weights (dev/smoke mode)")
     p.add_argument("--freeze_text_encoder", action="store_true", default=False)
@@ -150,16 +153,27 @@ def main(argv=None):
         segment_length=config.segment_samples,
     )
 
+    clap_tok = None
+    if args.loss_type == "clap":
+        from transformers import AutoTokenizer
+
+        try:
+            clap_tok = AutoTokenizer.from_pretrained("roberta-base")
+        except Exception:
+            clap_tok = None
+
     def make_train_loader(epoch):
         return DataLoader(
             train_ds, tokenizer, global_batch, args.text_len,
             augment=args.augment, shuffle=True, seed=seed + epoch,
+            clap_tokenizer=clap_tok,
         )
 
     def make_eval_loader():
         return DataLoader(
             val_ds, tokenizer, args.per_device_eval_batch_size * n_dev,
             args.text_len, augment=False, shuffle=False, seed=seed,
+            clap_tokenizer=clap_tok,
         )
 
     # optimizer
@@ -203,11 +217,49 @@ def main(argv=None):
             teacher_guidance_scale=args.teacher_guidance_scale,
             target_ema_decay=args.target_ema_decay,
             ema_decay=args.ema_decay,
-            loss_type=args.loss_type,
+            loss_type=args.loss_type if args.loss_type != "clap" else "mse",
             use_edm=args.use_edm,
             accum_steps=args.gradient_accumulation_steps,
         )
-        step_fn = build_consistency_train_step(pipeline, sched, tx, step_cfg)
+
+        clap_bits = None
+        if args.loss_type == "clap":
+            # stage-3: load the CLAP towers and tokenizer for the loss
+            from consistencytta_tpu.evaluation.clap_model import (
+                convert_clap_audio,
+                convert_clap_text,
+            )
+            from consistencytta_tpu.io.torch_import import load_torch_state_dict
+            from transformers import AutoTokenizer
+
+            clap_sd = load_torch_state_dict(args.clap_checkpoint)
+            clap_bits = {
+                "audio": convert_clap_audio(clap_sd),
+                "text": convert_clap_text(clap_sd),
+                "tokenizer": AutoTokenizer.from_pretrained("roberta-base"),
+            }
+
+        if args.loss_type == "clap" and args.finetune_vae:
+            from consistencytta_tpu.training.ftvae import (
+                FTVAETrainState,
+                build_ftvae_train_step,
+            )
+
+            step_fn = build_ftvae_train_step(
+                pipeline, sched, tx, step_cfg,
+                clap_bits["audio"], clap_bits["text"],
+            )
+        elif args.loss_type == "clap":
+            from consistencytta_tpu.training.clap_loss import build_clap_loss
+
+            step_fn = build_consistency_train_step(
+                pipeline, sched, tx, step_cfg,
+                loss_fn_override=build_clap_loss(
+                    pipeline, clap_bits["audio"], clap_bits["text"]
+                ),
+            )
+        else:
+            step_fn = build_consistency_train_step(pipeline, sched, tx, step_cfg)
         validate_fn = (
             jax.jit(
                 build_validation_step(
@@ -220,7 +272,12 @@ def main(argv=None):
             if args.use_edm
             else None
         )
-        state = TrainState.create(params, tx)
+        if args.loss_type == "clap" and args.finetune_vae:
+            from consistencytta_tpu.training.ftvae import FTVAETrainState
+
+            state = FTVAETrainState.create(params, tx)
+        else:
+            state = TrainState.create(params, tx)
 
     step_fn = sharded_step(step_fn, mesh, donate_state=True)
     state = device_put_replicated(state, mesh)

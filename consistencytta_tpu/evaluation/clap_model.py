@@ -28,7 +28,7 @@ from flax import linen as nn
 from consistencytta_tpu.evaluation.panns import BatchNormInference
 from consistencytta_tpu.nn.layers import LayerNorm
 from consistencytta_tpu.ops.mel import mel_filterbank, real_dft_basis
-from consistencytta_tpu.ops.stft import stft_magnitude
+from consistencytta_tpu.ops.stft import stft_power
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +134,10 @@ class CLAPMelFrontend:
         )
 
     def __call__(self, wav: jax.Array) -> jax.Array:
-        mag = stft_magnitude(
+        power = stft_power(
             wav, self.cos, self.sin, self.config.hop_size,
             self.config.window_size_stft // 2,
         )
-        power = mag * mag
         mel = jnp.einsum(
             "bfn,nm->bfm", power, self.mel_t,
             precision=jax.lax.Precision.HIGHEST,

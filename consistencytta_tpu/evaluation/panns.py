@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from consistencytta_tpu.configs import STFTConfig
 from consistencytta_tpu.ops.mel import mel_filterbank, real_dft_basis
-from consistencytta_tpu.ops.stft import stft_magnitude
+from consistencytta_tpu.ops.stft import stft_power
 
 
 @dataclass(frozen=True)
@@ -93,10 +93,9 @@ class Cnn14(nn.Module):
         cfg = self.config
         # torchlibrosa Spectrogram(power=2) + LogmelFilterBank(ref=1,
         # amin=1e-10, top_db=None): 10*log10(clamp(mel(|stft|^2)))
-        mag = stft_magnitude(
+        power = stft_power(
             wav, self._cos, self._sin, cfg.hop_size, cfg.window_size // 2
         )
-        power = mag * mag
         mel = jnp.einsum(
             "bfn,nm->bfm", power, self._mel,
             precision=jax.lax.Precision.HIGHEST,

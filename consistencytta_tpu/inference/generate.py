@@ -139,6 +139,79 @@ def build_generate_fn(
     return jax.jit(generate) if jit else generate
 
 
+def build_guided_student_generate_fn(
+    pipeline: Pipeline,
+    num_steps: int = 20,
+    guidance_post: float = 1.0,
+    use_ema: bool = True,
+    use_edm: bool = False,
+    truncate_seconds: Optional[float] = 10.0,
+    jit: bool = True,
+) -> Callable:
+    """Multi-step iterative denoising with the stage-1 guided student —
+    the AudioGDM inference path (models/audio_guided_model.py:171-244):
+    the guidance weight is embedded (guidance_scale_input) and optionally a
+    further external CFG is applied on the guided student
+    (guidance_scale_post > 1).
+    """
+    sched_cfg = pipeline.config.scheduler
+    use_cfg_post = guidance_post > 1.0
+
+    def generate(params, ids, mask, uncond_ids, uncond_mask, rng, guidance):
+        b = ids.shape[0]
+        guidance = jnp.broadcast_to(
+            jnp.asarray(guidance, jnp.float32).reshape(-1), (b,)
+        )
+        if use_cfg_post:
+            text, text_mask, _, _ = pipeline.encode_text_cfg(
+                params.t5, ids, mask, uncond_ids, uncond_mask
+            )
+        else:
+            text = pipeline.encode_text(params.t5, ids, mask)
+            text_mask = mask
+
+        unet_params = params.student_ema if use_ema else params.student
+
+        def query(z_scaled, t):
+            if use_cfg_post:
+                z_in = jnp.concatenate([z_scaled, z_scaled], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                g_in = jnp.concatenate([guidance, guidance], axis=0)
+                pred = pipeline.query_student(
+                    unet_params, z_in, t_in, text, text_mask, g_in
+                )
+                uncond, cond = pred[:b], pred[b:]
+                return uncond + guidance_post * (cond - uncond)
+            return pipeline.query_student(
+                unet_params, z_scaled, t, text, text_mask, guidance
+            )
+
+        noise = jax.random.normal(rng, pipeline.latent_shape(b), jnp.float32)
+
+        if use_edm:
+            sched = make_heun_schedule(sched_cfg, num_steps)
+            z0 = sched.sample_loop(
+                noise * sched.init_noise_sigma,
+                lambda z_scaled, t, sigma: query(z_scaled, t),
+            )
+        else:
+            sched = make_ddim_schedule(sched_cfg, num_steps)
+
+            def body(z, t_scalar):
+                t = jnp.full((b,), t_scalar)
+                pred = query(z, t.astype(jnp.float32))
+                return sched.step(pred, t, z), None
+
+            z0, _ = jax.lax.scan(body, noise, sched.timesteps)
+
+        wav = pipeline.decode_latents(params.vae, params.vocoder, z0)
+        if truncate_seconds is not None:
+            wav = wav[:, : int(pipeline.config.sample_rate * truncate_seconds)]
+        return wav
+
+    return jax.jit(generate) if jit else generate
+
+
 def build_teacher_generate_fn(
     pipeline: Pipeline,
     num_steps: int = 18,

@@ -72,6 +72,35 @@ def stft_magnitude(
     return jnp.sqrt(re * re + im * im)
 
 
+def stft_power(
+    wav: jax.Array,
+    cos_basis: jax.Array,
+    sin_basis: jax.Array,
+    hop_length: int,
+    center_pad: int,
+) -> jax.Array:
+    """Power spectrogram re^2 + im^2 of [B, T] -> [B, n_frames, n_bins].
+
+    Differentiable everywhere (no sqrt-at-zero singularity) — used by the
+    gradient-carrying CLAP path (stage-3 fine-tune) and the power-based
+    torchlibrosa frontends (Cnn14/HTSAT)."""
+    wav = wav.astype(jnp.float32)
+    if center_pad:
+        wav = jnp.pad(wav, ((0, 0), (center_pad, center_pad)), mode="reflect")
+    frames = frame_signal(wav, cos_basis.shape[0], hop_length)
+    basis = jnp.concatenate([cos_basis, sin_basis], axis=1)
+    spec = jnp.einsum(
+        "bfl,lc->bfc",
+        frames,
+        basis,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    n_bins = cos_basis.shape[1]
+    re, im = spec[..., :n_bins], spec[..., n_bins:]
+    return re * re + im * im
+
+
 class MelFrontend:
     """Waveform -> log-mel spectrogram, the TacotronSTFT equivalent.
 

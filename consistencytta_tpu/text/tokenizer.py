@@ -56,7 +56,14 @@ class HFTokenizer:
     def __init__(self, name_or_path: str = "google/flan-t5-large"):
         from transformers import AutoTokenizer
 
-        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        try:
+            # local cache / local path first: avoids minutes of network
+            # retries in offline environments
+            self.tok = AutoTokenizer.from_pretrained(
+                name_or_path, local_files_only=True
+            )
+        except Exception:
+            self.tok = AutoTokenizer.from_pretrained(name_or_path)
         self.model_max_length = self.tok.model_max_length
 
     def __call__(

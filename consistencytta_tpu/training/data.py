@@ -164,6 +164,10 @@ class DataLoader:
     augment: bool = False
     shuffle: bool = True
     seed: int = 0
+    # stage-3: RoBERTa tokenizer for the CLAP loss captions (max_len 77,
+    # laion_clap hook.py tokenization); emits clap_text_ids/clap_text_mask
+    clap_tokenizer: object = None
+    clap_text_len: int = 77
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
@@ -196,7 +200,7 @@ class DataLoader:
             ids, mask, uids, umask = tokenize_with_uncond(
                 self.tokenizer, caps, self.text_len
             )
-            yield {
+            batch = {
                 "wav": wav.astype(np.float32),
                 "ids": ids,
                 "mask": mask,
@@ -204,3 +208,11 @@ class DataLoader:
                 "uncond_mask": umask,
                 "captions": caps,
             }
+            if self.clap_tokenizer is not None:
+                enc = self.clap_tokenizer(
+                    caps, padding="max_length", truncation=True,
+                    max_length=self.clap_text_len, return_tensors="np",
+                )
+                batch["clap_text_ids"] = enc["input_ids"].astype(np.int32)
+                batch["clap_text_mask"] = enc["attention_mask"].astype(np.int32)
+            yield batch
