@@ -65,14 +65,24 @@ def import_reference_diffusers():
 def import_reference_audioldm():
     """Import the reference's *trimmed* audioldm copy (easy_inference/) for
     VAE / HiFi-GAN parity tests: unlike the full copy it has no
-    librosa/soundfile dependencies at import time."""
+    librosa/soundfile dependencies at import time.
+
+    Registered as a synthetic package pinned to the easy_inference tree so
+    sys.path ordering (the full reference root is prepended by
+    import_reference_diffusers) cannot make `audioldm` resolve to the
+    librosa-dependent full copy."""
     import sys
+    import types
 
-    path = os.path.join(REFERENCE_ROOT, "easy_inference")
-    if path not in sys.path:
-        sys.path.append(path)  # append: full-reference diffusers keeps priority
+    pkg_path = os.path.join(REFERENCE_ROOT, "easy_inference", "audioldm")
+    existing = sys.modules.get("audioldm")
+    if existing is None or pkg_path not in list(getattr(existing, "__path__", [])):
+        pkg = types.ModuleType("audioldm")
+        pkg.__path__ = [pkg_path]
+        sys.modules["audioldm"] = pkg
 
-    import audioldm.hifigan as hifigan
-    import audioldm.variational_autoencoder.autoencoder as vae_mod
+    import importlib
 
+    vae_mod = importlib.import_module("audioldm.variational_autoencoder.autoencoder")
+    hifigan = importlib.import_module("audioldm.hifigan")
     return vae_mod, hifigan

@@ -1,0 +1,95 @@
+"""LoRA adaptation tests: identity at init, kernel delta, LoRA-only training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
+from consistencytta_tpu.ops.schedulers import make_heun_schedule
+from consistencytta_tpu.training.lora import (
+    build_lora_consistency_train_step,
+    init_lora_params,
+    lora_param_count,
+    merge_lora,
+)
+from consistencytta_tpu.training.optim import OptimizerConfig, make_optimizer
+from consistencytta_tpu.training.step import ConsistencyStepConfig, TrainState
+from tests.test_training import make_batch
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return Pipeline.create(tiny_config())
+
+
+@pytest.fixture(scope="module")
+def params(pipeline):
+    return pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+
+
+class TestLoRA:
+    def test_init_covers_all_attention_projections(self, params):
+        lora = init_lora_params(params.student, rank=4)
+        n = lora_param_count(lora)
+        # 3 cross-attn levels x 2 blocks down + 3 up-levels x 3 + mid = 16
+        # transformers, each with attn1+attn2 x 4 projections
+        assert n > 0
+        leaves = jax.tree_util.tree_leaves(lora)
+        assert len(leaves) == 16 * 2 * 4 * 2  # (a, b) per projection
+
+    def test_merge_identity_at_init(self, params):
+        lora = init_lora_params(params.student, rank=4)
+        merged = merge_lora(params.student, lora)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(merged),
+            jax.tree_util.tree_leaves(params.student),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_merge_changes_kernels_after_update(self, params):
+        lora = init_lora_params(params.student, rank=4)
+        bumped = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+        merged = merge_lora(params.student, bumped)
+        diff = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(merged),
+                jax.tree_util.tree_leaves(params.student),
+            )
+        )
+        assert diff > 0
+
+    def test_lora_train_step(self, pipeline, params, rng):
+        frozen = PipelineParams(
+            teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
+            t5=params.t5,
+        )
+        sched = make_heun_schedule(pipeline.config.scheduler, 18)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, num_warmup_steps=0))
+        lora = init_lora_params(params.student, rank=2)
+        step = jax.jit(
+            build_lora_consistency_train_step(
+                pipeline, sched, tx, ConsistencyStepConfig(),
+                student_base=params.student,
+            )
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            student=lora,
+            student_target=jax.tree_util.tree_map(jnp.array, lora),
+            student_ema=jax.tree_util.tree_map(jnp.array, lora),
+            opt_state=tx.init(lora),
+        )
+        state2, metrics = step(state, frozen, make_batch(rng, b=2, text_len=8),
+                               jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        d = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state2.student),
+                jax.tree_util.tree_leaves(state.student),
+            )
+        )
+        assert d > 0  # LoRA factors moved
