@@ -40,11 +40,10 @@ def main() -> None:
     )
     from consistencytta_tpu.models.pipeline import Pipeline
 
-    # batch 16: batch 32 (the reference eval batch) exceeds one v5e chip's
-    # HBM through the vocoder intermediates at fp32 params; inference params
-    # are cast to bf16 (the reference evaluates under bf16 autocast too,
-    # inference.sh --use_bf16)
-    batch = 16
+    # batch 32 (the reference eval batch size): fits one v5e chip with bf16
+    # params and bf16-stored attention logits (the reference evaluates under
+    # bf16 autocast too, inference.sh --use_bf16)
+    batch = 32
     text_len = 64
 
     config = PipelineConfig()

@@ -143,6 +143,9 @@ class UNetConfig(JsonConfig):
     freq_shift: int = 0
     use_linear_projection: bool = True
     upcast_attention: bool = True
+    # store attention logits in fp32 under bf16 compute (exact reference
+    # upcast; slower). Default off: fp32 accumulation + bf16 storage.
+    strict_upcast: bool = False
     downsample_padding: int = 1
     mid_block_scale_factor: float = 1.0
     # "positional" (sinusoidal) time embedding; "fourier" guidance embedding

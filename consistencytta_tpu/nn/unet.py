@@ -182,6 +182,7 @@ class UNet2DConditionGuided(nn.Module):
                 if has_attn:
                     h = Transformer2D(
                         heads, out_ch // heads, upcast=cfg.upcast_attention,
+                        strict_upcast=cfg.strict_upcast,
                         groups=cfg.norm_num_groups, dtype=compute,
                         name=f"down_{i}_attn_{j}",
                     )(h, encoder_hidden_states, mask_bias)
@@ -199,7 +200,8 @@ class UNet2DConditionGuided(nn.Module):
         )(h, emb)
         h = Transformer2D(
             mid_heads, mid_ch // mid_heads, upcast=cfg.upcast_attention,
-            groups=cfg.norm_num_groups, dtype=compute, name="mid_attn_0",
+            strict_upcast=cfg.strict_upcast, groups=cfg.norm_num_groups,
+            dtype=compute, name="mid_attn_0",
         )(h, encoder_hidden_states, mask_bias)
         h = ResnetBlock2D(
             mid_ch, cfg.norm_eps, cfg.norm_num_groups, dtype=compute,
@@ -223,6 +225,7 @@ class UNet2DConditionGuided(nn.Module):
                 if has_attn:
                     h = Transformer2D(
                         heads, out_ch // heads, upcast=cfg.upcast_attention,
+                        strict_upcast=cfg.strict_upcast,
                         groups=cfg.norm_num_groups, dtype=compute,
                         name=f"up_{i}_attn_{j}",
                     )(h, encoder_hidden_states, mask_bias)
