@@ -41,7 +41,7 @@ def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
     from scipy.io import wavfile
 
     pcm = np.clip(np.asarray(wav, np.float64), -1.0, 1.0)
-    wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
+    wavfile.write(path, sr, np.round(pcm * 32767.0).astype(np.int16))
 
 
 def pad_wav(wav: np.ndarray, segment_length: Optional[int]) -> np.ndarray:
@@ -64,12 +64,21 @@ def read_wav_file(
 ) -> np.ndarray:
     """Full preprocessing chain of the reference (torch_tools.py:54-75):
     read -> mono -> resample -> normalize -> pad -> normalize again.
-    Returns float32 [segment_length]."""
+    Returns float32 [segment_length].
+
+    Uses the native C polyphase resampler (io/native) when available; the
+    JAX-CPU conv path is the fallback."""
+    from consistencytta_tpu.io.native import resample_native
+
     wav, sr = read_wav(path)
     if sr != target_sr:
-        wav = resample_numpy(wav.astype(np.float32), sr, target_sr).astype(
-            np.float64
-        )
+        native = resample_native(wav.astype(np.float32), sr, target_sr)
+        if native is not None:
+            wav = native.astype(np.float64)
+        else:
+            wav = resample_numpy(wav.astype(np.float32), sr, target_sr).astype(
+                np.float64
+            )
     wav = normalize_wav(wav)
     wav = pad_wav(wav, segment_length)
     wav = wav / (np.abs(wav).max() + 1e-8) / 2.0
