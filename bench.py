@@ -43,7 +43,7 @@ def main() -> None:
     # batch 32 (the reference eval batch size): fits one v5e chip with bf16
     # params and bf16-stored attention logits (the reference evaluates under
     # bf16 autocast too, inference.sh --use_bf16)
-    batch = 64
+    batch = 32
     text_len = 64
 
     config = PipelineConfig()
