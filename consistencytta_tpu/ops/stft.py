@@ -115,7 +115,7 @@ class MelFrontend:
     frame padding of tools/torch_tools.py:38-51,126-135.
     """
 
-    def __init__(self, config: STFTConfig = STFTConfig(), use_pallas: bool = False):
+    def __init__(self, config: STFTConfig = STFTConfig(), use_pallas=None):
         self.config = config
         cos_b, sin_b = real_dft_basis(
             config.filter_length, config.win_length, window="hann"
@@ -130,6 +130,12 @@ class MelFrontend:
         self.cos_basis = jnp.asarray(cos_b)
         self.sin_basis = jnp.asarray(sin_b)
         self.mel_fb_t = jnp.asarray(mel_fb.T)  # [n_bins, n_mels]
+        if use_pallas is None:
+            # default on TPU: the fused kernel is both faster and ~100x more
+            # accurate there (the XLA einsum runs bf16 passes on TPU even at
+            # Precision.HIGHEST under --xla_allow_excess_precision; the
+            # kernel does an explicit bf16x3 split)
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
 
     @property
