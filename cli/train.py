@@ -99,7 +99,12 @@ def main(argv=None):
         make_ddpm_schedule,
         make_heun_schedule,
     )
-    from consistencytta_tpu.parallel.mesh import make_mesh, device_put_replicated, sharded_step
+    from consistencytta_tpu.parallel.mesh import (
+        make_mesh,
+        device_put_replicated,
+        shard_train_state,
+        sharded_step,
+    )
     from consistencytta_tpu.text.tokenizer import load_tokenizer
     from consistencytta_tpu.training.data import DataLoader, T2ADataset
     from consistencytta_tpu.training.loop import LoopConfig, train_loop
@@ -279,8 +284,9 @@ def main(argv=None):
         else:
             state = TrainState.create(params, tx)
 
-    step_fn = sharded_step(step_fn, mesh, donate_state=True)
-    state = device_put_replicated(state, mesh)
+    # ZeRO-1: optimizer state + EMA shadows shard over the data axis
+    step_fn = sharded_step(step_fn, mesh, donate_state=True, state_example=state)
+    state = shard_train_state(state, mesh)
     frozen = device_put_replicated(frozen, mesh)
 
     if args.resume_from_checkpoint:

@@ -60,21 +60,89 @@ def device_put_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicate(mesh))
 
 
+def zero1_spec(leaf, mesh: Mesh) -> NamedSharding:
+    """ZeRO-1-style sharding for an optimizer-state / EMA leaf: split the
+    first axis whose size divides the data-axis extent; replicate scalars
+    and indivisible leaves. Under jit, constraining the optimizer state and
+    EMA shadows this way makes XLA partition the update math and keep only
+    1/N of those tensors per chip (weight-update sharding)."""
+    n = mesh.shape[DATA_AXIS]
+    if n == 1 or not hasattr(leaf, "shape"):
+        return replicate(mesh)
+    for axis, dim in enumerate(leaf.shape):
+        if dim % n == 0 and dim >= n:
+            spec = [None] * axis + [DATA_AXIS]  # trailing dims unsharded
+            return NamedSharding(mesh, P(*spec))
+    return replicate(mesh)
+
+
+def zero1_tree_sharding(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda x: zero1_spec(x, mesh), tree)
+
+
+def device_put_zero1(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, zero1_spec(x, mesh)), tree
+    )
+
+
 def sharded_step(
-    step_fn: Callable, mesh: Mesh, donate_state: bool = True
+    step_fn: Callable,
+    mesh: Mesh,
+    donate_state: bool = True,
+    state_example=None,
 ) -> Callable:
     """Compile step(state, frozen, batch, rng) with DP shardings:
-    state/frozen replicated, batch split over `data`. XLA derives the
+    batch split over `data`, frozen params replicated; XLA derives the
     gradient psum over ICI from these constraints (the NCCL-allreduce
-    equivalent of reference accelerator.backward)."""
+    equivalent of reference accelerator.backward).
+
+    When `state_example` (a TrainState) is given, its optimizer state and
+    EMA shadow trees are ZeRO-1 sharded over the data axis instead of
+    replicated — the memory that keeps full-scale stage-2 training from
+    fitting a single 16G chip (student + Adam moments + target + ema fp32
+    ~ 11 GB) divides across the mesh. Use `shard_train_state` to lay out
+    the initial state accordingly."""
     rep = replicate(mesh)
     data = shard_batch(mesh)
+    if state_example is None:
+        state_shardings = rep
+    else:
+        import dataclasses
+
+        fields = {}
+        for f in dataclasses.fields(state_example):
+            val = getattr(state_example, f.name)
+            if f.name in ("student_target", "student_ema", "opt_state",
+                          "vae_dec_ema") and val is not None:
+                fields[f.name] = zero1_tree_sharding(val, mesh)
+            else:
+                fields[f.name] = jax.tree_util.tree_map(lambda _: rep, val)
+        state_shardings = type(state_example)(**fields)
+
     return jax.jit(
         step_fn,
-        in_shardings=(rep, rep, data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_shardings, rep, data, rep),
+        out_shardings=(state_shardings, rep),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def shard_train_state(state, mesh: Mesh, zero1: bool = True):
+    """Place a TrainState on the mesh: student replicated; optimizer state
+    and EMA shadows ZeRO-1 sharded when requested."""
+    import dataclasses
+
+    fields = {}
+    for f in dataclasses.fields(state):
+        val = getattr(state, f.name)
+        if zero1 and val is not None and f.name in (
+            "student_target", "student_ema", "opt_state", "vae_dec_ema"
+        ):
+            fields[f.name] = device_put_zero1(val, mesh)
+        else:
+            fields[f.name] = jax.device_put(val, replicate(mesh))
+    return type(state)(**fields)
 
 
 def sharded_eval(

@@ -81,6 +81,11 @@ class ConsistencyStepConfig:
     loss_type: str = "mse"  # mse | mel  (clap wired via loss_fn override)
     use_edm: bool = True
     accum_steps: int = 1
+    # rematerialize the trainable student UNet forward (recompute in the
+    # backward pass): trades ~1 extra forward of FLOPs for the activation
+    # memory that otherwise pushes production-scale training past one
+    # chip's HBM
+    remat_student: bool = True
 
 
 def _select_if_finite(finite, new_tree, old_tree):
@@ -186,7 +191,12 @@ def consistency_forward(
     zhat_0_from_n = jax.lax.stop_gradient(jnp.where(at_zero, z0, zhat_0_from_n))
 
     # trainable student on the noisier latent (:420-423)
-    zhat_0_from_np1 = pipeline.query_student(
+    student_query = (
+        jax.checkpoint(pipeline.query_student)
+        if cfg.remat_student
+        else pipeline.query_student
+    )
+    zhat_0_from_np1 = student_query(
         student_params, z_np1_scaled, t_u, text, mask_c, w
     )
     return zhat_0_from_np1, zhat_0_from_n, snr
