@@ -66,7 +66,7 @@ def main(argv=None):
         None if args.skip_teacher
         else build_teacher_generate_fn(pipeline, args.num_teacher_steps)
     )
-    tokenizer = load_tokenizer(args.text_encoder_name)
+    tokenizer = load_tokenizer(args.text_encoder_name, vocab_size=config.t5.vocab_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
     rng = jax.random.PRNGKey(args.seed)

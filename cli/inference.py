@@ -117,16 +117,19 @@ def main(argv=None):
         args.test_file, args.text_column, args.audio_column,
         segment_length=config.segment_samples,
     )
-    tokenizer = load_tokenizer(args.text_encoder_name)
+    tokenizer = load_tokenizer(args.text_encoder_name, vocab_size=config.t5.vocab_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
     rng = jax.random.PRNGKey(args.seed)
     all_names, t_total = [], 0.0
+    caption_map = {}
     b = args.batch_size
 
     for start in range(0, len(dataset), b):
         caps = dataset.captions[start : start + b]
-        pad = b - len(caps)
+        if args.num_samples > 1:
+            caps = [c for c in caps for _ in range(args.num_samples)]
+        pad = b * args.num_samples - len(caps)
         caps_padded = caps + [""] * pad
         ids, mask, uids, umask = tokenize_with_uncond(
             tokenizer, caps_padded, args.text_len
@@ -140,15 +143,20 @@ def main(argv=None):
         wav = np.asarray(jax.block_until_ready(wav))
         t_total += time.time() - t0
 
-        for i, cap in enumerate(caps):
-            name = f"output_{start + i}.wav"
-            src = os.path.basename(dataset.paths[start + i])
-            if src.endswith(".wav"):
-                name = src
+        batch_names = []
+        for i in range(len(caps)):
+            prompt_idx = start + i // args.num_samples
+            sample_idx = i % args.num_samples
+            src = os.path.basename(dataset.paths[prompt_idx])
+            name = src if src.endswith(".wav") else f"output_{prompt_idx}.wav"
+            if args.num_samples > 1:
+                name = f"{name[:-4]}_s{sample_idx}.wav"
             write_wav(
                 os.path.join(args.output_dir, name), wav[i], config.sample_rate
             )
-            all_names.append(name)
+            caption_map[name] = caps[i]
+            batch_names.append(name)
+        all_names.extend(batch_names)
 
         if teacher_generate is not None:
             rng, tea_rng = jax.random.split(rng)
@@ -160,11 +168,9 @@ def main(argv=None):
             )
             tea_dir = args.output_dir + "_teacher"
             os.makedirs(tea_dir, exist_ok=True)
-            for i, cap in enumerate(caps):
+            for i, name in enumerate(batch_names):
                 write_wav(
-                    os.path.join(tea_dir, all_names[start + i]),
-                    tea_wav[i],
-                    config.sample_rate,
+                    os.path.join(tea_dir, name), tea_wav[i], config.sample_rate
                 )
 
     print(f"Generated {len(all_names)} clips in {t_total:.1f}s "
@@ -176,8 +182,7 @@ def main(argv=None):
 
         helper = EvaluationHelper(sampling_rate=config.sample_rate)
         metrics = helper.main(
-            args.output_dir, args.test_references,
-            captions={n: c for n, c in zip(all_names, dataset.captions)},
+            args.output_dir, args.test_references, captions=caption_map
         )
         result.update(metrics)
         print(json.dumps(metrics, indent=2))

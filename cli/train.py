@@ -143,7 +143,7 @@ def main(argv=None):
     )
 
     # data
-    tokenizer = load_tokenizer(args.text_encoder_name)
+    tokenizer = load_tokenizer(args.text_encoder_name, vocab_size=config.t5.vocab_size)
     n_dev = len(jax.devices())
     mesh = make_mesh()
     global_batch = (

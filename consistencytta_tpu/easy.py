@@ -32,6 +32,7 @@ class ConsistencyTTA:
         use_bf16: bool = True,
         random_init_seed: Optional[int] = None,
         text_len: int = 64,
+        pipeline_config=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -40,7 +41,7 @@ class ConsistencyTTA:
         from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
         from consistencytta_tpu.text.tokenizer import load_tokenizer
 
-        config = PipelineConfig()
+        config = pipeline_config or PipelineConfig()
         if unet_config_json:
             config = PipelineConfig.from_dict(
                 {**config.to_dict(),
@@ -51,7 +52,7 @@ class ConsistencyTTA:
         self.pipeline = Pipeline.create(
             config, dtype=jnp.bfloat16 if use_bf16 else jnp.float32
         )
-        self.tokenizer = load_tokenizer(text_encoder)
+        self.tokenizer = load_tokenizer(text_encoder, vocab_size=config.t5.vocab_size)
 
         from consistencytta_tpu.io import torch_import as ti
 
@@ -120,14 +121,20 @@ class ConsistencyTTA:
         cfg_scale_input: float = 3.0,
         cfg_scale_post: float = 1.0,
         num_steps: int = 1,
+        num_samples: int = 1,
         seed: Optional[int] = None,
     ) -> np.ndarray:
-        """prompt(s) -> waveform [B, samples] float32 in [-1, 1]."""
+        """prompt(s) -> waveform [B * num_samples, samples] float32.
+
+        num_samples repeats each prompt (the reference's
+        num_samples_per_prompt, easy_inference/consistencytta.py:104-132)."""
         import jax
 
         from consistencytta_tpu.text.tokenizer import tokenize_with_uncond
 
         prompts: List[str] = [prompt] if isinstance(prompt, str) else list(prompt)
+        if num_samples > 1:
+            prompts = [p for p in prompts for _ in range(num_samples)]
         ids, mask, uids, umask = tokenize_with_uncond(
             self.tokenizer, prompts, self.text_len
         )

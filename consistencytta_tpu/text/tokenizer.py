@@ -82,12 +82,16 @@ class HFTokenizer:
         )
 
 
-def load_tokenizer(name_or_path: str = "google/flan-t5-large"):
-    """HF tokenizer if its files resolve, else the hash fallback."""
+def load_tokenizer(
+    name_or_path: str = "google/flan-t5-large", vocab_size: int = 32128
+):
+    """HF tokenizer if its files resolve, else the hash fallback (bounded to
+    `vocab_size` so ids stay inside the model's embedding table — JAX fills
+    NaN on out-of-bounds gathers)."""
     try:
         return HFTokenizer(name_or_path)
     except Exception:
-        return HashTokenizer()
+        return HashTokenizer(vocab_size=vocab_size)
 
 
 def tokenize_with_uncond(
