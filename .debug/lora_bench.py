@@ -14,8 +14,8 @@ pipeline = Pipeline.create(config, dtype=jnp.bfloat16)
 params = pipeline.init_params(jax.random.PRNGKey(0), text_len=64)
 cast16 = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16) if x.dtype==jnp.float32 else x, t)
 frozen = PipelineParams(teacher=cast16(params.teacher), vae=cast16(params.vae),
-                        vocoder=cast16(params.vocoder), t5=cast16(params.t5))
-student_base = cast16(params.student)
+                        vocoder=cast16(params.vocoder), t5=cast16(params.t5),
+                        student=cast16(params.student))
 print("init done", flush=True)
 
 sched = make_heun_schedule(config.scheduler, 18)
@@ -23,7 +23,7 @@ tx = make_optimizer(OptimizerConfig(learning_rate=1e-4, num_warmup_steps=0))
 lora = init_lora_params(params.student, rank=4)
 print("lora params:", lora_param_count(lora)/1e6, "M", flush=True)
 step = jax.jit(build_lora_consistency_train_step(pipeline, sched, tx,
-    ConsistencyStepConfig(), student_base=student_base), donate_argnums=(0,))
+    ConsistencyStepConfig()), donate_argnums=(0,))
 state = TrainState(step=jnp.zeros((),jnp.int32), student=lora,
                    student_target=jax.tree_util.tree_map(jnp.array, lora),
                    student_ema=jax.tree_util.tree_map(jnp.array, lora),

@@ -86,12 +86,15 @@ def build_lora_consistency_train_step(
     schedule,
     tx,
     cfg,
-    student_base: Params,
     loss_fn_override=None,
 ):
     """Consistency train step where only LoRA factors train: the TrainState's
     student/target/ema trees hold LoRA params, merged into the frozen base
-    before every UNet query."""
+    before every UNet query.
+
+    The frozen PipelineParams must carry the base student weights in its
+    `student` slot — passed as a step argument, NOT closed over (closure
+    arrays serialize into the compiled program on AOT backends)."""
     import optax
 
     from consistencytta_tpu.training.ema import ema_update
@@ -104,9 +107,9 @@ def build_lora_consistency_train_step(
     )
 
     def micro_loss(lora, state, frozen, micro, rng):
-        student = merge_lora(student_base, lora)
+        student = merge_lora(frozen.student, lora)
         target = jax.lax.stop_gradient(
-            merge_lora(student_base, state.student_target)
+            merge_lora(frozen.student, state.student_target)
         )
         pred, tgt, snr = consistency_forward(
             pipeline, schedule, cfg, student, target, frozen, micro, rng

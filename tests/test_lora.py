@@ -64,7 +64,7 @@ class TestLoRA:
     def test_lora_train_step(self, pipeline, params, rng):
         frozen = PipelineParams(
             teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
-            t5=params.t5,
+            t5=params.t5, student=params.student,
         )
         sched = make_heun_schedule(pipeline.config.scheduler, 18)
         tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, num_warmup_steps=0))
@@ -72,7 +72,6 @@ class TestLoRA:
         step = jax.jit(
             build_lora_consistency_train_step(
                 pipeline, sched, tx, ConsistencyStepConfig(),
-                student_base=params.student,
             )
         )
         state = TrainState(
