@@ -20,7 +20,13 @@ _TRIED = False
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(os.path.dirname(__file__), "resample.c")
-    lib_path = os.path.join(os.path.dirname(__file__), "libresample.so")
+    # build outside the package tree: a .so inside would be picked up by
+    # package walkers as a broken extension module
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "consistencytta_tpu"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, "libresample.so")
     try:
         if not os.path.exists(lib_path) or os.path.getmtime(
             lib_path
