@@ -26,19 +26,49 @@ except Exception:
 
 
 def build_pipeline_config(args) -> PipelineConfig:
-    base = PipelineConfig()
-    unet = base.unet
+    """PipelineConfig from CLI flags: `--pipeline_config` picks the base
+    ("tiny" for the CI-scale pipeline, or a json path from a previous run's
+    config.json); `--unet_model_config` overrides the UNet from a
+    reference-format diffusers json (train.py --unet_model_config)."""
+    import dataclasses
+
+    pc = getattr(args, "pipeline_config", None)
+    if pc == "tiny":
+        base = PipelineConfig.tiny()
+    elif pc:
+        with open(pc) as f:
+            base = PipelineConfig.from_dict(json.load(f))
+    else:
+        base = PipelineConfig()
     if getattr(args, "unet_model_config", None):
-        unet = UNetConfig.from_diffusers_json(args.unet_model_config)
-    return PipelineConfig(
-        unet=unet,
-        vae=base.vae,
-        vocoder=base.vocoder,
-        stft=base.stft,
-        t5=base.t5,
-        scheduler=base.scheduler,
-        latent=base.latent,
+        base = dataclasses.replace(
+            base, unet=UNetConfig.from_diffusers_json(args.unet_model_config)
+        )
+    return base
+
+
+STUDENT_ROLES = ("student", "student_target", "student_ema")
+FROZEN_KEYS = ("teacher", "vae", "vocoder", "t5")
+
+
+def is_orbax_checkpoint(path: Optional[str]) -> bool:
+    """True for directories written by io.checkpoints.save_checkpoint
+    ({dir}/state [+ frozen, config.json])."""
+    return bool(path) and os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "state")
     )
+
+
+def _restore_orbax_roles(path: str):
+    """Restore an orbax checkpoint dir -> (state_tree, frozen_tree_or_None).
+
+    `state_tree` is the raw restored mapping keyed by TrainState field names
+    (student / student_target / student_ema / ...), already flax param trees
+    — no torch key surgery applies."""
+    from consistencytta_tpu.io.checkpoints import load_checkpoint
+
+    state, frozen, _ = load_checkpoint(path)
+    return state, frozen
 
 
 def load_frozen_and_roles(
@@ -50,14 +80,19 @@ def load_frozen_and_roles(
     random_init_rng: Optional[jax.Array] = None,
     text_len: int = 64,
 ) -> PipelineParams:
-    """Assemble PipelineParams from torch checkpoints, mirroring the
+    """Assemble PipelineParams from torch or orbax checkpoints, mirroring the
     reference loading paths (train.py:348-354, inference.py:119-158):
 
       * vae_checkpoint: audioldm-s-full.ckpt (first_stage_model.* surgery +
         scale_factor, tools/build_pretrained.py:8-36); its vocoder weights
         feed the HiFi-GAN
       * tango_model (+ stage1_model): teacher/student/target/ema fan-out
-      * model_path: a full ConsistencyTTA pytorch_model_2.bin
+        (models/audio_consistency_model.py:107-158). stage1_model may be an
+        orbax dir from a previous stage (recipes/train.sh stages 2-3); its
+        student_ema params seed student/target/ema directly.
+      * model_path: a full ConsistencyTTA pytorch_model_2.bin, or an orbax
+        checkpoint dir (student roles from `state`, frozen nets from
+        `frozen`).
 
     Falls back to random init for any missing piece when random_init_rng is
     given (development/benchmark mode).
@@ -81,26 +116,64 @@ def load_frozen_and_roles(
         if voc_sd:
             params.vocoder = ti.convert_hifigan(voc_sd, pipeline.config.vocoder)
 
-    roles = None
+    roles = None       # torch state dicts, need key surgery + conversion
+    flax_roles = None  # already-flax param trees, assigned verbatim
     if model_path:
-        sd = ti.load_torch_state_dict(model_path)
-        roles = ti.split_consistencytta_checkpoint(sd)
-    elif tango_model:
-        tango_sd = ti.load_torch_state_dict(tango_model)
-        stage1_sd = (
-            ti.load_torch_state_dict(stage1_model) if stage1_model else None
-        )
-        roles = ti.fan_out_tango_checkpoint(tango_sd, stage1_sd)
+        if is_orbax_checkpoint(model_path):
+            state, frozen_tree = _restore_orbax_roles(model_path)
+            flax_roles = {
+                r: state[r]
+                for r in STUDENT_ROLES
+                if isinstance(state, dict) and state.get(r) is not None
+            }
+            if frozen_tree:
+                for k in FROZEN_KEYS:
+                    if frozen_tree.get(k) is not None:
+                        setattr(params, k, frozen_tree[k])
+        else:
+            sd = ti.load_torch_state_dict(model_path)
+            roles = ti.split_consistencytta_checkpoint(sd)
+    else:
+        stage1_orbax = stage1_model and is_orbax_checkpoint(stage1_model)
+        if tango_model:
+            tango_sd = ti.load_torch_state_dict(tango_model)
+            stage1_sd = (
+                ti.load_torch_state_dict(stage1_model)
+                if (stage1_model and not stage1_orbax)
+                else None
+            )
+            roles = ti.fan_out_tango_checkpoint(tango_sd, stage1_sd)
+        if stage1_orbax:
+            # previous-stage orbax checkpoint (recipes/train.sh stages 2-3):
+            # teacher still fans out from TANGO when given; student/target/
+            # ema seed from the previous stage's EMA weights
+            if roles:
+                for r in STUDENT_ROLES:
+                    roles.pop(r, None)
+            state, _ = _restore_orbax_roles(stage1_model)
+            seed_tree = state.get("student_ema")
+            if seed_tree is None:
+                seed_tree = state.get("student")
+            if seed_tree is None:
+                raise ValueError(
+                    f"orbax checkpoint {stage1_model} has no student params"
+                )
+            flax_roles = {r: seed_tree for r in STUDENT_ROLES}
 
     if roles:
         guided_cfg = pipeline.config.unet
         teacher_cfg = UNetConfig.from_dict({**guided_cfg.to_dict(), "guided": False})
         if roles.get("teacher"):
             params.teacher = ti.convert_unet(roles["teacher"], teacher_cfg)
-        for role in ("student", "student_target", "student_ema"):
+        for role in STUDENT_ROLES:
             if roles.get(role):
-                converted = ti.convert_unet(roles[role], guided_cfg)
+                # strict=False: the TANGO fan-out has no guidance keys; they
+                # random-init identically across roles (init_seed fixed)
+                converted = ti.convert_unet(roles[role], guided_cfg, strict=False)
                 setattr(params, role, converted)
+    if flax_roles:
+        for role, tree in flax_roles.items():
+            setattr(params, role, tree)
 
     return params
 

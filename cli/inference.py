@@ -28,6 +28,8 @@ def parse_args(argv=None):
                    help="pytorch_model_2.bin or orbax checkpoint dir")
     p.add_argument("--vae_checkpoint", type=str, default=None)
     p.add_argument("--unet_model_config", type=str, default=None)
+    p.add_argument("--pipeline_config", type=str, default=None,
+                   help='pipeline base config: "tiny" or a config json path')
     p.add_argument("--test_file", type=str, default="data/test_audiocaps_subset.json")
     p.add_argument("--test_references", type=str, default=None)
     p.add_argument("--text_column", type=str, default="captions")
@@ -72,7 +74,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.original_args:
         replay = read_config_replay(args.original_args)
-        for key in ("unet_model_config", "use_edm", "text_encoder_name"):
+        for key in ("unet_model_config", "pipeline_config", "use_edm",
+                    "text_encoder_name"):
             if key in replay and getattr(args, key, None) in (None, False):
                 setattr(args, key, replay[key])
 
@@ -80,25 +83,14 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
     pipeline = Pipeline.create(config, dtype=dtype)
 
-    is_orbax = args.model and os.path.isdir(args.model)
+    # load_frozen_and_roles handles both torch .bin and orbax checkpoint dirs
     params = load_frozen_and_roles(
         pipeline,
-        model_path=None if is_orbax else args.model,
+        model_path=args.model,
         vae_checkpoint=args.vae_checkpoint,
         random_init_rng=jax.random.PRNGKey(args.seed) if args.random_init else None,
         text_len=args.text_len,
     )
-    if is_orbax:
-        from consistencytta_tpu.io.checkpoints import load_checkpoint
-
-        state, frozen, _ = load_checkpoint(args.model)
-        params.student = state["student"]
-        params.student_target = state["student_target"]
-        params.student_ema = state["student_ema"]
-        if frozen:
-            for k in ("teacher", "vae", "vocoder", "t5"):
-                if frozen.get(k) is not None:
-                    setattr(params, k, frozen[k])
 
     gen_cfg = GenerateConfig(
         num_steps=args.num_steps,

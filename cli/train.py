@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
     p.add_argument("--scheduler_name", type=str, default="stabilityai/stable-diffusion-2-1")
     p.add_argument("--unet_model_config", type=str, default=None)
+    p.add_argument("--pipeline_config", type=str, default=None,
+                   help='pipeline base config: "tiny" or a config json path')
     p.add_argument("--tango_model", type=str, default=None)
     p.add_argument("--stage1_model", type=str, default=None)
     p.add_argument("--vae_checkpoint", type=str, default=None,
@@ -115,6 +117,7 @@ def main(argv=None):
         TrainState,
         build_consistency_train_step,
         build_guided_train_step,
+        build_guided_validation_step,
         build_validation_step,
     )
     from consistencytta_tpu.io.checkpoints import load_checkpoint
@@ -198,17 +201,19 @@ def main(argv=None):
 
     # steps
     if args.stage == 1:
+        if args.use_lora:
+            raise ValueError("--use_lora applies to stage 2/3 only")
         sched = make_ddpm_schedule(config.scheduler)
-        step_fn = build_guided_train_step(
-            pipeline, sched, tx,
-            GuidedStepConfig(
-                snr_gamma=args.snr_gamma,
-                teacher_guidance_scale=args.teacher_guidance_scale,
-                ema_decay=args.ema_decay,
-                accum_steps=args.gradient_accumulation_steps,
-            ),
+        step_cfg1 = GuidedStepConfig(
+            snr_gamma=args.snr_gamma,
+            teacher_guidance_scale=args.teacher_guidance_scale,
+            ema_decay=args.ema_decay,
+            accum_steps=args.gradient_accumulation_steps,
         )
-        validate_fn = None
+        step_fn = build_guided_train_step(pipeline, sched, tx, step_cfg1)
+        validate_fn = jax.jit(
+            build_guided_validation_step(pipeline, sched, step_cfg1)
+        )
         state = TrainState.create(params, tx, with_target=False)
     else:
         if args.use_edm:
@@ -228,6 +233,7 @@ def main(argv=None):
         )
 
         clap_bits = None
+        loss_override = None
         if args.loss_type == "clap":
             # stage-3: load the CLAP towers and tokenizer for the loss
             from consistencytta_tpu.evaluation.clap_model import (
@@ -235,6 +241,7 @@ def main(argv=None):
                 convert_clap_text,
             )
             from consistencytta_tpu.io.torch_import import load_torch_state_dict
+            from consistencytta_tpu.training.clap_loss import build_clap_loss
             from transformers import AutoTokenizer
 
             clap_sd = load_torch_state_dict(args.clap_checkpoint)
@@ -243,8 +250,25 @@ def main(argv=None):
                 "text": convert_clap_text(clap_sd),
                 "tokenizer": AutoTokenizer.from_pretrained("roberta-base"),
             }
+            loss_override = build_clap_loss(
+                pipeline, clap_bits["audio"], clap_bits["text"]
+            )
 
-        if args.loss_type == "clap" and args.finetune_vae:
+        if args.use_lora and args.finetune_vae:
+            raise ValueError("--use_lora and --finetune_vae are exclusive")
+
+        if args.use_lora:
+            # LoRA fine-tune: only rank-4 A/B factors train; the base student
+            # weights ride in frozen.student (training/lora.py)
+            from consistencytta_tpu.training.lora import (
+                build_lora_consistency_train_step,
+                init_lora_params,
+            )
+
+            step_fn = build_lora_consistency_train_step(
+                pipeline, sched, tx, step_cfg, loss_fn_override=loss_override
+            )
+        elif args.loss_type == "clap" and args.finetune_vae:
             from consistencytta_tpu.training.ftvae import (
                 FTVAETrainState,
                 build_ftvae_train_step,
@@ -254,30 +278,36 @@ def main(argv=None):
                 pipeline, sched, tx, step_cfg,
                 clap_bits["audio"], clap_bits["text"],
             )
-        elif args.loss_type == "clap":
-            from consistencytta_tpu.training.clap_loss import build_clap_loss
-
-            step_fn = build_consistency_train_step(
-                pipeline, sched, tx, step_cfg,
-                loss_fn_override=build_clap_loss(
-                    pipeline, clap_bits["audio"], clap_bits["text"]
-                ),
-            )
         else:
-            step_fn = build_consistency_train_step(pipeline, sched, tx, step_cfg)
-        validate_fn = (
-            jax.jit(
-                build_validation_step(
-                    pipeline,
-                    sched if args.use_edm
-                    else make_heun_schedule(config.scheduler, args.num_diffusion_steps),
-                    step_cfg,
-                )
+            step_fn = build_consistency_train_step(
+                pipeline, sched, tx, step_cfg, loss_fn_override=loss_override
             )
-            if args.use_edm
-            else None
+
+        # 4-loss validation runs for both solver recipes (the reference
+        # validates regardless of --use_edm, tools/train_utils.py:84-139).
+        # In LoRA mode the state holds LoRA factors, not full UNet params,
+        # so the full-params validation step does not apply.
+        validate_fn = (
+            None if args.use_lora
+            else jax.jit(build_validation_step(pipeline, sched, step_cfg))
         )
-        if args.loss_type == "clap" and args.finetune_vae:
+
+        if args.use_lora:
+            lora0 = init_lora_params(
+                params.student, rng=jax.random.PRNGKey(seed)
+            )
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                student=lora0,
+                student_target=jax.tree_util.tree_map(jnp.array, lora0),
+                student_ema=jax.tree_util.tree_map(jnp.array, lora0),
+                opt_state=tx.init(lora0),
+            )
+            frozen = PipelineParams(
+                teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
+                t5=params.t5, student=params.student,
+            )
+        elif args.loss_type == "clap" and args.finetune_vae:
             from consistencytta_tpu.training.ftvae import FTVAETrainState
 
             state = FTVAETrainState.create(params, tx)
@@ -293,8 +323,15 @@ def main(argv=None):
         state, _, _ = load_checkpoint(
             args.resume_from_checkpoint, state_template=jax.device_get(state)
         )
-        state = device_put_replicated(state, mesh)
+        # re-apply ZeRO-1 placement: restoring on host and replicating would
+        # undo the optimizer/EMA sharding and OOM a multi-chip resume
+        state = shard_train_state(state, mesh)
 
+    step_ckpt_every = (
+        int(args.checkpointing_steps)
+        if str(args.checkpointing_steps).isdigit()
+        else None
+    )
     loop_cfg = LoopConfig(
         num_epochs=args.num_train_epochs,
         output_dir=args.output_dir,
@@ -302,6 +339,11 @@ def main(argv=None):
         eval_batches=max(100 // (args.per_device_eval_batch_size * n_dev), 1),
         starting_epoch=args.starting_epoch,
         seed=seed,
+        max_steps=args.max_train_steps,
+        save_best=args.checkpointing_steps == "best",
+        step_checkpoint_every=step_ckpt_every,
+        use_wandb=args.with_tracking,
+        wandb_kwargs={"project": "consistencytta_tpu", "config": vars(args)},
     )
     train_loop(
         step_fn, validate_fn, state, frozen, make_train_loader, make_eval_loader,

@@ -40,6 +40,9 @@ class GenerateConfig:
     init_steps: int = 18  # first query uses set_timesteps(18) (:486)
     truncate_seconds: Optional[float] = 10.0  # inference.py:208
     use_karras: bool = False
+    # decode the batch in sub-chunks (VAE decoder + vocoder activations are
+    # the HBM peak; chunking unlocks batch 64 on one 16 GB chip). None: off.
+    decode_chunk: Optional[int] = None
 
 
 def build_generate_fn(
@@ -55,26 +58,38 @@ def build_generate_fn(
     sched_cfg = pipeline.config.scheduler
     use_cfg_post = gen.guidance_post > 1.0
 
-    sched_init = make_heun_schedule(sched_cfg, gen.init_steps, gen.use_karras)
-    sched_multi = (
-        make_heun_schedule(sched_cfg, gen.num_steps, gen.use_karras)
-        if gen.num_steps > 1
-        else None
-    )
+    # schedule family follows --use_edm like the reference's
+    # inference_scheduler (inference.py:160): Heun sigmas vs DDIM abar grid.
+    if gen.use_edm:
+        sched_init = make_heun_schedule(sched_cfg, gen.init_steps, gen.use_karras)
+        sched_multi = (
+            make_heun_schedule(sched_cfg, gen.num_steps, gen.use_karras)
+            if gen.num_steps > 1
+            else None
+        )
+    else:
+        sched_init = make_ddim_schedule(sched_cfg, gen.init_steps)
+        sched_multi = (
+            make_ddim_schedule(sched_cfg, gen.num_steps)
+            if gen.num_steps > 1
+            else None
+        )
 
-    def calc_zhat_0(params: PipelineParams, z_n, t, sigma, text, text_mask, guidance):
+    def calc_zhat_0(params: PipelineParams, z_n, t, level, text, text_mask, guidance):
         """One consistency-model query with optional external CFG
-        (audio_consistency_model.py:435-457)."""
+        (audio_consistency_model.py:435-457). `level` is the noise-level
+        argument of the schedule family: sigma for Heun, integer t for DDIM
+        (where scale_model_input is the identity)."""
         unet_params = params.student_ema if gen.use_ema else params.student_target
         if use_cfg_post:
             z_in = jnp.concatenate([z_n, z_n], axis=0)
             t_in = jnp.concatenate([t, t], axis=0)
-            sigma_in = jnp.concatenate([sigma, sigma], axis=0)
+            level_in = jnp.concatenate([level, level], axis=0)
             g_in = jnp.concatenate([guidance, guidance], axis=0)
         else:
-            z_in, t_in, sigma_in, g_in = z_n, t, sigma, guidance
+            z_in, t_in, level_in, g_in = z_n, t, level, guidance
 
-        z_scaled = sched_init.scale_model_input(z_in, sigma_in)
+        z_scaled = sched_init.scale_model_input(z_in, level_in)
         zhat_0 = pipeline.query_student(
             unet_params, z_scaled, t_in, text, text_mask, g_in
         )
@@ -108,30 +123,38 @@ def build_generate_fn(
             text = pipeline.encode_text(params.t5, ids, mask)
             text_mask = mask
 
-        # 2. initial 1-NFE query from pure noise at sigma_max
+        # 2. initial 1-NFE query from pure noise at the max noise level
         rng, noise_rng = jax.random.split(rng)
         noise = jax.random.normal(
             noise_rng, pipeline.latent_shape(b), jnp.float32
         )
         z_n = noise * sched_init.init_noise_sigma
         t0 = jnp.full((b,), sched_init.timesteps[0])
-        s0 = jnp.full((b,), sched_init.sigmas[0])
-        zhat_0 = calc_zhat_0(params, z_n, t0, s0, text, text_mask, guidance)
+        level0 = (
+            jnp.full((b,), sched_init.sigmas[0]) if gen.use_edm else t0
+        )
+        zhat_0 = calc_zhat_0(params, z_n, t0, level0, text, text_mask, guidance)
 
         # 3. optional re-noise / re-denoise refinement at the coarse schedule
+        # (`timesteps[1::order]` over the reference's duplicated Heun array
+        # == unique timesteps [1:]; all remaining timesteps for DDIM)
         if sched_multi is not None:
             for i in range(1, gen.num_steps):
                 rng, step_rng = jax.random.split(rng)
-                sigma_i = jnp.full((b,), sched_multi.sigmas[i])
                 t_i = jnp.full((b,), sched_multi.timesteps[i])
+                level_i = (
+                    jnp.full((b,), sched_multi.sigmas[i]) if gen.use_edm else t_i
+                )
                 eps = jax.random.normal(step_rng, zhat_0.shape, zhat_0.dtype)
-                z_n = sched_multi.add_noise(zhat_0, eps, sigma_i)
+                z_n = sched_multi.add_noise(zhat_0, eps, level_i)
                 zhat_0 = calc_zhat_0(
-                    params, z_n, t_i, sigma_i, text, text_mask, guidance
+                    params, z_n, t_i, level_i, text, text_mask, guidance
                 )
 
         # 4. decode to waveform
-        wav = pipeline.decode_latents(params.vae, params.vocoder, zhat_0)
+        wav = pipeline.decode_latents(
+            params.vae, params.vocoder, zhat_0, chunk=gen.decode_chunk
+        )
         if gen.truncate_seconds is not None:
             wav = wav[:, : int(pipeline.config.sample_rate * gen.truncate_seconds)]
         return wav

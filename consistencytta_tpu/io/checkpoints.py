@@ -43,12 +43,22 @@ def save_tree(path: str, tree: Any, retries: int = 3) -> None:
 
 
 def restore_tree(path: str, template: Optional[Any] = None) -> Any:
+    """Restore an orbax tree. With `template`, the restored arrays are typed
+    after it and the original container types (TrainState dataclass, optax
+    namedtuples) are rebuilt — orbax stores the tree in serialized dict/list
+    form, so the template must be serialized the same way before building
+    restore args."""
     path = os.path.abspath(path)
     if template is not None:
         import orbax.checkpoint as ocp
 
-        return _checkpointer().restore(
-            path, restore_args=ocp.checkpoint_utils.construct_restore_args(template)
+        serialized = ocp.tree.serialize_tree(template, keep_empty_nodes=True)
+        restored = _checkpointer().restore(
+            path,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(serialized),
+        )
+        return ocp.tree.deserialize_tree(
+            restored, target=template, keep_empty_nodes=True
         )
     return _checkpointer().restore(path)
 

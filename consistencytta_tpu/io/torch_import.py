@@ -228,12 +228,49 @@ def _unet_attention(sd: FlatSD, key: str) -> Params:
     return p
 
 
-def convert_unet(sd: FlatSD, config: UNetConfig) -> Params:
+def init_guidance_params(config: UNetConfig, seed: int = 0) -> Params:
+    """Fresh guidance-module params (Fourier projection + 2-layer MLP).
+
+    Used for the reference's `strict=False` cold start: when TANGO (plain
+    teacher) weights initialize the guided student, the guidance modules have
+    no checkpoint keys and keep their module init
+    (models/audio_consistency_model.py:133-149). Deterministic in `seed` so
+    every role (student/target/ema) fans out with IDENTICAL guidance init,
+    matching the reference's post-load state_dict copy into target/ema."""
+    rs = np.random.RandomState(seed)
+    ch = config.block_out_channels[0]
+    emb = ch * 4  # time_embed_dim; Fourier output is cat(cos,sin) = 4*ch
+
+    def dense(fan_in: int, fan_out: int) -> Params:
+        kernel = rs.standard_normal((fan_in, fan_out)) / np.sqrt(fan_in)
+        return {
+            "kernel": kernel.astype(np.float32),
+            "bias": np.zeros((fan_out,), np.float32),
+        }
+
+    return {
+        # N(0, scale=1) like GaussianFourierProjection's frozen weight
+        "guidance_proj": {
+            "weight": rs.standard_normal((ch * 2,)).astype(np.float32)
+        },
+        "guidance_embedding": {
+            "linear_1": dense(emb, emb),
+            "linear_2": dense(emb, emb),
+        },
+    }
+
+
+def convert_unet(
+    sd: FlatSD, config: UNetConfig, strict: bool = True, init_seed: int = 0
+) -> Params:
     """Guided/plain UNet torch state dict -> flax params.
 
     Key structure follows diffusers UNet2DCondition(Guided)Model; the
     guidance_proj/guidance_embedding keys exist only for the guided variant
-    (unet_2d_condition_guided.py:287-302)."""
+    (unet_2d_condition_guided.py:287-302). With `strict=False`, missing
+    guidance keys fall back to fresh init (the reference's
+    `load_state_dict(..., strict=False)` TANGO cold start,
+    models/audio_consistency_model.py:133-149)."""
     p: Params = {
         "conv_in": _conv(sd, "conv_in"),
         "time_embedding": {
@@ -242,11 +279,19 @@ def convert_unet(sd: FlatSD, config: UNetConfig) -> Params:
         },
     }
     if config.guided:
-        p["guidance_proj"] = {"weight": sd["guidance_proj.weight"]}
-        p["guidance_embedding"] = {
-            "linear_1": _linear(sd, "guidance_embedding.linear_1"),
-            "linear_2": _linear(sd, "guidance_embedding.linear_2"),
-        }
+        if "guidance_proj.weight" in sd:
+            p["guidance_proj"] = {"weight": sd["guidance_proj.weight"]}
+            p["guidance_embedding"] = {
+                "linear_1": _linear(sd, "guidance_embedding.linear_1"),
+                "linear_2": _linear(sd, "guidance_embedding.linear_2"),
+            }
+        elif not strict:
+            p.update(init_guidance_params(config, seed=init_seed))
+        else:
+            raise KeyError(
+                "guidance_proj.weight missing from a guided UNet state dict "
+                "(pass strict=False for the TANGO cold-start fan-out)"
+            )
 
     num_levels = config.num_levels
     for i, block_type in enumerate(config.down_block_types):

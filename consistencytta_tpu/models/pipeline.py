@@ -133,15 +133,32 @@ class Pipeline:
     # -- decode -------------------------------------------------------------
 
     def decode_latents(
-        self, vae_params: Params, vocoder_params: Params, z_scaled
+        self, vae_params: Params, vocoder_params: Params, z_scaled,
+        chunk: Optional[int] = None,
     ) -> jax.Array:
         """scaled latent [B, t, f, c] -> waveform [B, samples]; fuses
         vae.decode_first_stage + decode_to_waveform + global DC centering
-        (autoencoder.py:103-111, hifigan/utilities.py:76-91)."""
-        mel = self.vae.apply(
-            {"params": vae_params}, z_scaled, method=self.vae.decode_first_stage
-        )
-        wav = self.vocoder.apply({"params": vocoder_params}, mel[..., 0])
+        (autoencoder.py:103-111, hifigan/utilities.py:76-91).
+
+        `chunk`: decode in batch sub-chunks via lax.map so the VAE-decoder /
+        HiFi-GAN upsample activations (the HBM peak of generation) scale with
+        the chunk, not the batch — unlocks batch 64 on one 16 GB chip. The
+        DC centering stays batch-global (reference vocoder_infer semantics),
+        so chunked and unchunked results are identical."""
+
+        def decode_one(z):
+            mel = self.vae.apply(
+                {"params": vae_params}, z, method=self.vae.decode_first_stage
+            )
+            return self.vocoder.apply({"params": vocoder_params}, mel[..., 0])
+
+        b = z_scaled.shape[0]
+        if chunk and 0 < chunk < b and b % chunk == 0:
+            z_chunks = z_scaled.reshape((b // chunk, chunk) + z_scaled.shape[1:])
+            wav = jax.lax.map(decode_one, z_chunks)
+            wav = wav.reshape(b, wav.shape[-1])
+        else:
+            wav = decode_one(z_scaled)
         return vocoder_postprocess(wav)
 
     # -- encode (training) --------------------------------------------------

@@ -53,7 +53,32 @@ def replicate(mesh: Mesh):
 
 
 def device_put_batch(batch, mesh: Mesh):
+    """Place a batch on the mesh, split over `data`. Single-host: a plain
+    device_put. Multi-host (jax.distributed initialized): each process
+    passes only its LOCAL slice of the global batch and the global array is
+    assembled across hosts without any cross-host data movement."""
+    if jax.process_count() > 1:
+        return make_global_batch_from_local(batch, mesh)
     return jax.device_put(batch, shard_batch(mesh))
+
+
+def make_global_batch_from_local(local_batch, mesh: Mesh):
+    """Multi-host data feeding: build globally-sharded batch arrays from
+    per-process local shards via jax.make_array_from_process_local_data.
+    `local_batch` leaves carry this process's rows only; the returned arrays
+    are global [world_batch, ...] jax.Arrays sharded over `data`.
+
+    This is the TPU-native replacement for the reference's per-rank
+    DataLoader + DDP pairing (each Accelerate rank reads its own rows;
+    SURVEY.md section 2.9): per-host loaders feed disjoint manifest slices,
+    and the resulting global array is what the jitted step consumes."""
+    sharding = shard_batch(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        local_batch,
+    )
 
 
 def device_put_replicated(tree, mesh: Mesh):

@@ -144,6 +144,18 @@ class T2ADataset:
     def __len__(self) -> int:
         return len(self.captions)
 
+    def shard(self, process_index: int, process_count: int) -> "T2ADataset":
+        """Disjoint per-host slice for multi-host training: host k reads
+        rows k, k+P, k+2P, ... and feeds them through
+        parallel.mesh.make_global_batch_from_local (the reference's
+        per-rank Accelerate DataLoader split, SURVEY.md section 2.9)."""
+        return T2ADataset(
+            captions=self.captions[process_index::process_count],
+            paths=self.paths[process_index::process_count],
+            segment_length=self.segment_length,
+            target_sr=self.target_sr,
+        )
+
     def load_item(self, idx: int):
         wav = read_wav_file(self.paths[idx], self.segment_length, self.target_sr)
         return self.captions[idx], wav

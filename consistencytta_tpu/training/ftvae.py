@@ -23,6 +23,7 @@ from consistencytta_tpu.training.losses import mse_instance
 from consistencytta_tpu.training.step import (
     ConsistencyStepConfig,
     _select_if_finite,
+    _tree_finite,
     consistency_forward,
     min_snr_weights_stage2,
 )
@@ -170,7 +171,7 @@ def build_ftvae_train_step(
                 body, (jnp.zeros(()), zero), (micro, rngs)
             )
 
-        finite = jnp.isfinite(loss)
+        finite = jnp.isfinite(loss) & _tree_finite(grads)
         updates, new_opt = tx.update(grads, state.opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
         new_trainable = _select_if_finite(finite, new_trainable, trainable)

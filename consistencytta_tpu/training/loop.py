@@ -31,6 +31,17 @@ class LoopConfig:
     log_every: int = 50
     starting_epoch: int = 0
     seed: int = 0
+    # hard optimizer-step cap (reference --max_train_steps,
+    # train.py:264-266,398-400): training stops mid-epoch when reached
+    max_steps: Optional[int] = None
+    # --checkpointing_steps: "best" keeps the best-val checkpoint; an integer
+    # value additionally saves `step_{n}` checkpoints every n optimizer steps
+    # (the reference's Accelerate save_state cadence, train.py:411-417)
+    save_best: bool = True
+    step_checkpoint_every: Optional[int] = None
+    # --with_tracking: mirror the jsonl log to wandb (train.py:264-266,309)
+    use_wandb: bool = False
+    wandb_kwargs: Optional[dict] = None
 
 
 def _strip_captions(batch: dict) -> dict:
@@ -53,11 +64,18 @@ def train_loop(
     make_train_loader(epoch) -> fresh (re-shuffled) iterator per epoch.
     `step_fn`/`validate_fn` must already be jitted/sharded.
     """
-    writer = SummaryWriter(config.output_dir)
+    writer = SummaryWriter(
+        config.output_dir,
+        use_wandb=config.use_wandb,
+        wandb_kwargs=config.wandb_kwargs,
+    )
     rng = jax.random.PRNGKey(config.seed)
     best_eval_loss = float("inf")
+    reached_max = False
 
     for epoch in range(config.starting_epoch, config.num_epochs):
+        if reached_max:
+            break
         t_epoch = time.time()
         train_loss, n_steps = 0.0, 0
 
@@ -71,10 +89,22 @@ def train_loop(
             loss = float(metrics["loss"])
             if np.isfinite(loss):
                 train_loss += loss
+            global_step = int(state.step)
             if n_steps % config.log_every == 0:
                 writer.log(
-                    {"epoch": epoch, "step": int(state.step), "train_loss": loss}
+                    {"epoch": epoch, "step": global_step, "train_loss": loss}
                 )
+            if (
+                config.step_checkpoint_every
+                and global_step % config.step_checkpoint_every == 0
+            ):
+                save_checkpoint(
+                    os.path.join(config.output_dir, f"step_{global_step}"),
+                    state, frozen, pipeline_config,
+                )
+            if config.max_steps is not None and global_step >= config.max_steps:
+                reached_max = True
+                break
 
         record = {
             "epoch": epoch,
@@ -100,13 +130,15 @@ def train_loop(
                 n_eval += 1
             for k in totals:
                 record[k] = totals[k] / max(n_eval, 1)
-            loss_to_track = record.get("loss_w_teacher", record["train_loss"])
+            loss_to_track = record.get(
+                "loss_w_teacher", record.get("val_loss", record["train_loss"])
+            )
         else:
             loss_to_track = record["train_loss"]
 
         writer.log(record)
 
-        if loss_to_track < best_eval_loss:
+        if config.save_best and loss_to_track < best_eval_loss:
             best_eval_loss = loss_to_track
             save_checkpoint(
                 os.path.join(config.output_dir, "best"),

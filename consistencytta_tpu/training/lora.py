@@ -102,6 +102,7 @@ def build_lora_consistency_train_step(
     from consistencytta_tpu.training.step import (
         TrainState,
         _select_if_finite,
+        _tree_finite,
         consistency_forward,
         min_snr_weights_stage2,
     )
@@ -126,7 +127,7 @@ def build_lora_consistency_train_step(
 
     def step(state: TrainState, frozen, batch, rng):
         loss, grads = grad_fn(state.student, state, frozen, batch, rng)
-        finite = jnp.isfinite(loss)
+        finite = jnp.isfinite(loss) & _tree_finite(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.student)
         new_lora = optax.apply_updates(state.student, updates)
         new_lora = _select_if_finite(finite, new_lora, state.student)

@@ -94,6 +94,16 @@ def _select_if_finite(finite, new_tree, old_tree):
     )
 
 
+def _tree_finite(tree) -> jax.Array:
+    """True iff every leaf of the tree is all-finite. Guards the optimizer
+    update against finite-loss/non-finite-grad steps (stricter than the
+    reference's loss-only check, tools/train_utils.py:167-173)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return jnp.asarray(True)
+    return jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]).all()
+
+
 def _tree_mean(trees):
     return jax.tree_util.tree_map(lambda x: x.mean(axis=0), trees)
 
@@ -268,7 +278,7 @@ def build_consistency_train_step(
                 body, (jnp.zeros(()), zero_grads), (micro, rngs)
             )
 
-        finite = jnp.isfinite(loss)
+        finite = jnp.isfinite(loss) & _tree_finite(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.student)
         new_student = optax.apply_updates(state.student, updates)
         new_student = _select_if_finite(finite, new_student, state.student)
@@ -293,17 +303,21 @@ def build_consistency_train_step(
 
 def build_validation_step(
     pipeline: Pipeline,
-    schedule: HeunSchedule,
+    schedule,  # HeunSchedule or DDIMSchedule
     cfg: ConsistencyStepConfig = ConsistencyStepConfig(),
 ) -> Callable:
     """Stage-2 validation: start at t_0 (pure noise), run the teacher all the
     way to t=0, return the 4 diagnostic losses
     (models/audio_consistency_model.py:354-405 with
     validation_mode=num_diffusion_steps-1, tools/train_utils.py:97).
+    Dispatches on the schedule kind: Heun/EDM (`--use_edm`) or DDIM — the
+    reference validates regardless of solver (tools/train_utils.py:84-139).
 
     Returns validate(state, frozen, batch, rng) ->
     dict(loss_w_gt, loss_w_teacher, loss_consistency, loss_teacher).
     """
+    if not hasattr(schedule, "heun_pair"):
+        return _build_ddim_validation_step(pipeline, schedule, cfg)
     n = schedule.num_steps
 
     def validate(state: TrainState, frozen: PipelineParams, batch, rng):
@@ -382,6 +396,74 @@ def build_validation_step(
     return validate
 
 
+def _build_ddim_validation_step(
+    pipeline: Pipeline,
+    schedule: DDIMSchedule,
+    cfg: ConsistencyStepConfig = ConsistencyStepConfig(),
+) -> Callable:
+    """DDIM-solver variant of the 4-loss validation: pure noise at t_0, one
+    teacher DDIM step for the target-net consistency pair, full teacher DDIM
+    rollout for loss_w_teacher / loss_teacher."""
+    n = schedule.num_inference_steps
+
+    def validate(state: TrainState, frozen: PipelineParams, batch, rng):
+        wav, ids, mask = batch["wav"], batch["ids"], batch["mask"]
+        uids, umask = batch["uncond_ids"], batch["uncond_mask"]
+        b = wav.shape[0]
+        r_enc, r_eps, r_w = jax.random.split(rng, 3)
+
+        z0 = pipeline.encode_audio(frozen.vae, wav, r_enc)
+        text_cf, mask_cf, text, mask_c = pipeline.encode_text_cfg(
+            frozen.t5, ids, mask, uids, umask
+        )
+
+        if cfg.teacher_guidance_scale == -1.0:
+            w = jax.random.uniform(r_w, (b,)) * cfg.max_rand_guidance_scale
+        else:
+            w = jnp.full((b,), cfg.teacher_guidance_scale)
+
+        eps = jax.random.normal(r_eps, z0.shape)
+        z_np1 = eps * schedule.init_noise_sigma  # u=0: pure noise resample
+
+        t0 = jnp.full((b,), schedule.timesteps[0])
+        t1 = jnp.full((b,), schedule.timesteps[1])
+
+        def teacher_fn(z, t):
+            return pipeline.query_teacher_cfg(
+                frozen.teacher, z, t, text_cf, mask_cf, w
+            )
+
+        zhat_n = schedule.step(teacher_fn(z_np1, t0), t0, z_np1)
+
+        # target-net estimates from both ends of the first interval
+        zhat0_from_np1 = pipeline.query_student(
+            state.student_target, z_np1, t0, text, mask_c, w
+        )
+        zhat0_from_n = pipeline.query_student(
+            state.student_target, zhat_n, t1, text, mask_c, w
+        )
+
+        # full teacher DDIM rollout over the remaining timesteps
+        def body(z, i):
+            t_i = jnp.full((b,), schedule.timesteps[i])
+            return schedule.step(teacher_fn(z, t_i), t_i, z), None
+
+        z_teacher, _ = jax.lax.scan(body, zhat_n, jnp.arange(1, n))
+
+        inst = mse_instance(zhat0_from_np1, zhat0_from_n)
+        if cfg.snr_gamma is not None:
+            inst = inst * min_snr_weights_stage2(schedule.snr(t0), cfg.snr_gamma)
+
+        return {
+            "loss_w_gt": mse_instance(zhat0_from_np1, z0).mean(),
+            "loss_w_teacher": mse_instance(zhat0_from_np1, z_teacher).mean(),
+            "loss_consistency": inst.mean(),
+            "loss_teacher": mse_instance(z_teacher, z0).mean(),
+        }
+
+    return validate
+
+
 @dataclass(frozen=True)
 class GuidedStepConfig:
     """Static stage-1 options (train.sh stage-1 recipe defaults)."""
@@ -393,57 +475,90 @@ class GuidedStepConfig:
     accum_steps: int = 1
 
 
+def guided_distill_loss(
+    pipeline: Pipeline,
+    schedule: DDPMSchedule,
+    cfg: "GuidedStepConfig",
+    student_params: Params,
+    frozen: PipelineParams,
+    micro,
+    rng,
+) -> jax.Array:
+    """The stage-1 guided-distillation loss (models/audio_guided_model.py:
+    87-169): distill the CFG teacher's noise prediction into the
+    guidance-conditioned student at uniformly sampled DDPM timesteps.
+    Shared by the train step and the stage-1 validation step."""
+    n_train = schedule.num_train_timesteps
+    wav, ids, mask = micro["wav"], micro["ids"], micro["mask"]
+    uids, umask = micro["uncond_ids"], micro["uncond_mask"]
+    b = wav.shape[0]
+    r_enc, r_t, r_eps, r_w = jax.random.split(rng, 4)
+
+    z0 = jax.lax.stop_gradient(pipeline.encode_audio(frozen.vae, wav, r_enc))
+    text_cf, mask_cf, text, mask_c = pipeline.encode_text_cfg(
+        frozen.t5, ids, mask, uids, umask
+    )
+    text_cf = jax.lax.stop_gradient(text_cf)
+    text = jax.lax.stop_gradient(text)
+
+    t = jax.random.randint(r_t, (b,), 0, n_train)
+    eps = jax.random.normal(r_eps, z0.shape)
+    z_noisy = schedule.add_noise(z0, eps, t)
+    is_last = (t == n_train - 1).reshape((-1,) + (1,) * (z0.ndim - 1))
+    z_n = jnp.where(is_last, eps * schedule.init_noise_sigma, z_noisy)
+
+    if cfg.teacher_guidance_scale == -1.0:
+        w = jax.random.uniform(r_w, (b,)) * cfg.max_rand_guidance_scale
+    else:
+        w = jnp.full((b,), cfg.teacher_guidance_scale)
+
+    teacher_pred = jax.lax.stop_gradient(
+        pipeline.query_teacher_cfg(
+            frozen.teacher, z_n, t.astype(jnp.float32), text_cf, mask_cf, w
+        )
+    )
+    student_pred = pipeline.query_student(
+        student_params, z_n, t.astype(jnp.float32), text, mask_c, w
+    )
+
+    inst = mse_instance(student_pred, teacher_pred)
+    if cfg.snr_gamma is not None:
+        inst = inst * min_snr_weights_stage1(
+            schedule.snr(t), cfg.snr_gamma, schedule.prediction_type
+        )
+    return inst.mean()
+
+
+def build_guided_validation_step(
+    pipeline: Pipeline,
+    schedule: DDPMSchedule,
+    cfg: "GuidedStepConfig",
+) -> Callable:
+    """Stage-1 validation: the distillation loss on a held-out batch
+    (reference eval_model, tools/train_utils.py:84-139 stage-1 branch); the
+    loop tracks best checkpoints on `val_loss`."""
+
+    def validate(state: TrainState, frozen: PipelineParams, batch, rng):
+        loss = guided_distill_loss(
+            pipeline, schedule, cfg, state.student, frozen, batch, rng
+        )
+        return {"val_loss": loss}
+
+    return validate
+
+
 def build_guided_train_step(
     pipeline: Pipeline,
     schedule: DDPMSchedule,
     tx: optax.GradientTransformation,
     cfg: GuidedStepConfig = GuidedStepConfig(),
 ) -> Callable:
-    """Stage-1 guided distillation step (models/audio_guided_model.py:87-169):
-    distill the CFG teacher's noise prediction into the guidance-conditioned
-    student at uniformly sampled DDPM timesteps."""
-
-    n_train = schedule.num_train_timesteps
+    """Stage-1 guided distillation step; see guided_distill_loss."""
 
     def micro_loss(student_params, frozen, micro, rng):
-        wav, ids, mask = micro["wav"], micro["ids"], micro["mask"]
-        uids, umask = micro["uncond_ids"], micro["uncond_mask"]
-        b = wav.shape[0]
-        r_enc, r_t, r_eps, r_w = jax.random.split(rng, 4)
-
-        z0 = jax.lax.stop_gradient(pipeline.encode_audio(frozen.vae, wav, r_enc))
-        text_cf, mask_cf, text, mask_c = pipeline.encode_text_cfg(
-            frozen.t5, ids, mask, uids, umask
+        return guided_distill_loss(
+            pipeline, schedule, cfg, student_params, frozen, micro, rng
         )
-        text_cf = jax.lax.stop_gradient(text_cf)
-        text = jax.lax.stop_gradient(text)
-
-        t = jax.random.randint(r_t, (b,), 0, n_train)
-        eps = jax.random.normal(r_eps, z0.shape)
-        z_noisy = schedule.add_noise(z0, eps, t)
-        is_last = (t == n_train - 1).reshape((-1,) + (1,) * (z0.ndim - 1))
-        z_n = jnp.where(is_last, eps * schedule.init_noise_sigma, z_noisy)
-
-        if cfg.teacher_guidance_scale == -1.0:
-            w = jax.random.uniform(r_w, (b,)) * cfg.max_rand_guidance_scale
-        else:
-            w = jnp.full((b,), cfg.teacher_guidance_scale)
-
-        teacher_pred = jax.lax.stop_gradient(
-            pipeline.query_teacher_cfg(
-                frozen.teacher, z_n, t.astype(jnp.float32), text_cf, mask_cf, w
-            )
-        )
-        student_pred = pipeline.query_student(
-            student_params, z_n, t.astype(jnp.float32), text, mask_c, w
-        )
-
-        inst = mse_instance(student_pred, teacher_pred)
-        if cfg.snr_gamma is not None:
-            inst = inst * min_snr_weights_stage1(
-                schedule.snr(t), cfg.snr_gamma, schedule.prediction_type
-            )
-        return inst.mean()
 
     grad_fn = jax.value_and_grad(micro_loss)
 
@@ -471,7 +586,7 @@ def build_guided_train_step(
                 body, (jnp.zeros(()), zero), (micro, rngs)
             )
 
-        finite = jnp.isfinite(loss)
+        finite = jnp.isfinite(loss) & _tree_finite(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.student)
         new_student = optax.apply_updates(state.student, updates)
         new_student = _select_if_finite(finite, new_student, state.student)

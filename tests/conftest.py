@@ -22,8 +22,30 @@ import jax  # noqa: E402
 # env var alone does not undo it, so force the CPU backend via jax.config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the jitted train/val/generate graphs dominate
+# test wall-clock (the 8-device step compiles for minutes); cached
+# executables make reruns fast. Keys include platform, so sharing the dir
+# with TPU runs is safe.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy tests (run with -m slow; quick tier skips them)",
+    )
+
+
+# Tiering: the quick tier is `pytest -m "not slow"`; the default run
+# includes everything.
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -10,7 +10,9 @@ from consistencytta_tpu.configs import (
     UNetConfig,
 )
 from consistencytta_tpu.io.torch_import import (
+    convert_unet,
     fan_out_tango_checkpoint,
+    init_guidance_params,
     split_consistencytta_checkpoint,
     strip_prefix,
 )
@@ -40,6 +42,113 @@ class TestTangoFanOut:
         np.testing.assert_array_equal(roles["teacher"]["conv_in.weight"], arr(1))
         for role in ("student", "student_target", "student_ema"):
             np.testing.assert_array_equal(roles[role]["conv_in.weight"], arr(5))
+
+
+class TestTolerantGuidedImport:
+    """The TANGO cold start: plain-teacher weights fan out into the guided
+    student with strict=False semantics — missing guidance modules get fresh
+    init (models/audio_consistency_model.py:133-149)."""
+
+    def _tiny_guided_config(self):
+        return UNetConfig.from_dict({
+            **UNetConfig().to_dict(),
+            "block_out_channels": (16, 16, 32, 32),
+            "attention_head_dim": (2, 2, 4, 4),
+            "cross_attention_dim": 32,
+            "norm_num_groups": 8,
+        })
+
+    def test_init_guidance_params_matches_flax_init_structure(self):
+        import jax
+        import jax.numpy as jnp
+
+        from consistencytta_tpu.nn.unet import UNet2DConditionGuided
+
+        cfg = self._tiny_guided_config()
+        model = UNet2DConditionGuided(cfg)
+        sample = np.zeros((1, 16, 16, 8), np.float32)
+        text = np.zeros((1, 5, 32), np.float32)
+        mask = np.ones((1, 5), np.int32)
+        flax_init = model.init(
+            jax.random.PRNGKey(0), sample, np.array([1.0]), text, mask,
+            guidance=np.array([3.0]),
+        )["params"]
+
+        fresh = init_guidance_params(cfg)
+        for key in ("guidance_proj", "guidance_embedding"):
+            want = jax.tree_util.tree_map(
+                lambda x: (x.shape, str(x.dtype)), flax_init[key]
+            )
+            got = jax.tree_util.tree_map(
+                lambda x: (x.shape, str(x.dtype)), fresh[key]
+            )
+            assert want == got, f"{key}: {got} != {want}"
+
+    def test_same_seed_gives_identical_init_across_roles(self):
+        cfg = self._tiny_guided_config()
+        a = init_guidance_params(cfg, seed=0)
+        b = init_guidance_params(cfg, seed=0)
+        np.testing.assert_array_equal(
+            a["guidance_proj"]["weight"], b["guidance_proj"]["weight"]
+        )
+
+    @pytest.mark.skipif(
+        not __import__("os").path.isdir("/root/reference"),
+        reason="reference repo not mounted",
+    )
+    def test_tango_cold_start_fan_out(self, rng):
+        """Full repro of the stage-1 load: a plain (unguided) torch UNet's
+        weights initialize all four roles; the guided conversion must not
+        KeyError, and the converted student must run a forward."""
+        import torch
+
+        from tests.conftest import import_reference_diffusers
+        from tests.test_unet import small_config_dict
+
+        import_reference_diffusers()
+        from diffusers import UNet2DConditionModel
+
+        torch.manual_seed(0)
+        d = small_config_dict()
+        torch_model = UNet2DConditionModel.from_config(d)
+        tango_sd = {
+            "unet." + k: v.detach().numpy()
+            for k, v in torch_model.state_dict().items()
+        }
+
+        roles = fan_out_tango_checkpoint(tango_sd)
+        guided_cfg = UNetConfig.from_diffusers_json(d)
+        assert guided_cfg.guided
+
+        # strict mode reproduces the old crash
+        with pytest.raises(KeyError):
+            convert_unet(roles["student"], guided_cfg, strict=True)
+
+        converted = {
+            role: convert_unet(roles[role], guided_cfg, strict=False)
+            for role in ("student", "student_target", "student_ema")
+        }
+        # identical fresh guidance init across roles (the reference copies
+        # the post-load state into target/ema)
+        np.testing.assert_array_equal(
+            converted["student"]["guidance_proj"]["weight"],
+            converted["student_ema"]["guidance_proj"]["weight"],
+        )
+
+        from consistencytta_tpu.nn.unet import UNet2DConditionGuided
+
+        model = UNet2DConditionGuided(guided_cfg)
+        out = model.apply(
+            {"params": converted["student"]},
+            rng.standard_normal((1, 32, 8, 8)).astype(np.float32),
+            np.array([500.0], np.float32),
+            rng.standard_normal((1, 5, guided_cfg.cross_attention_dim)).astype(
+                np.float32
+            ),
+            np.ones((1, 5), np.int32),
+            guidance=np.array([3.0], np.float32),
+        )
+        assert np.isfinite(np.asarray(out)).all()
 
 
 class TestLegacyRemap:

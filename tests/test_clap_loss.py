@@ -1,5 +1,9 @@
 """Stage-3 CLAP fine-tune loss: differentiable decode -> CLAP graph."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # CLAP-loss grad graph is compile-bound
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -47,6 +47,21 @@ class TestGenerate:
         assert np.isfinite(np.asarray(wav1)).all()
         np.testing.assert_array_equal(np.asarray(wav1), np.asarray(wav2))
 
+    def test_chunked_decode_matches_unchunked(self, pipeline, params):
+        """decode_latents(chunk=k) must be bit-compatible with the direct
+        path (the DC centering stays batch-global)."""
+        rng = np.random.default_rng(0)
+        z = rng.standard_normal((4,) + pipeline.latent_shape(1)[1:]).astype(
+            np.float32
+        )
+        full = np.asarray(
+            pipeline.decode_latents(params.vae, params.vocoder, z)
+        )
+        chunked = np.asarray(
+            pipeline.decode_latents(params.vae, params.vocoder, z, chunk=2)
+        )
+        np.testing.assert_allclose(chunked, full, atol=1e-6, rtol=1e-5)
+
     def test_guidance_changes_output(self, pipeline, params, text_batch):
         ids, mask, uids, umask = text_batch
         gen = build_generate_fn(

@@ -1,5 +1,9 @@
 """LoRA adaptation tests: identity at init, kernel delta, LoRA-only training."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # grad-graph compiles dominate (see conftest)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

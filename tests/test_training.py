@@ -128,6 +128,32 @@ class TestConsistencyStep:
             ):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_poisoned_grads_skip_update(self, pipeline, params, frozen, rng):
+        """Finite loss + non-finite grads must leave params/opt state
+        unchanged (stricter than the reference's loss-only check): sqrt at 0
+        gives loss=0 (finite) but an inf/nan gradient."""
+        sched = make_heun_schedule(pipeline.config.scheduler, 18)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, num_warmup_steps=0))
+
+        def poisoned_loss(pred, target, frozen, micro):
+            # d/dpred sqrt(|pred - pred|) is non-finite at 0
+            return jnp.sqrt(jnp.abs(pred - pred)).mean(axis=tuple(range(1, pred.ndim)))
+
+        step = jax.jit(
+            build_consistency_train_step(
+                pipeline, sched, tx, loss_fn_override=poisoned_loss
+            )
+        )
+        state = TrainState.create(params, tx)
+        state2, metrics = step(state, frozen, make_batch(rng), jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["loss"]))  # the loss itself is 0
+        assert not bool(metrics["loss_finite"])     # but the guard tripped
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state2.student),
+            jax.tree_util.tree_leaves(state.student),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_grad_accumulation_matches_big_batch_direction(
         self, pipeline, params, frozen, rng
     ):
