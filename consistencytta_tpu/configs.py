@@ -79,6 +79,9 @@ class VAEConfig(JsonConfig):
     scale_factor: float = 1.0     # overwritten by checkpoint scale_factor
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
+    # route the 4096-token mid-block attention through the Pallas flash
+    # kernel under bf16 on TPU backends (fp32 runs keep exact einsum math)
+    use_flash_attention: bool = True
 
 
 @dataclass(frozen=True)
@@ -146,6 +149,10 @@ class UNetConfig(JsonConfig):
     # store attention logits in fp32 under bf16 compute (exact reference
     # upcast; slower). Default off: fp32 accumulation + bf16 storage.
     strict_upcast: bool = False
+    # route unmasked bf16 self-attention through the Pallas flash kernel on
+    # TPU backends (ops/pallas_attention.py) — no HBM logits tensor, fp32
+    # online softmax. fp32 runs and cross-attention use the einsum path.
+    use_flash_attention: bool = True
     downsample_padding: int = 1
     mid_block_scale_factor: float = 1.0
     # "positional" (sinusoidal) time embedding; "fourier" guidance embedding

@@ -183,6 +183,7 @@ class UNet2DConditionGuided(nn.Module):
                     h = Transformer2D(
                         heads, out_ch // heads, upcast=cfg.upcast_attention,
                         strict_upcast=cfg.strict_upcast,
+                        use_flash=cfg.use_flash_attention,
                         groups=cfg.norm_num_groups, dtype=compute,
                         name=f"down_{i}_attn_{j}",
                     )(h, encoder_hidden_states, mask_bias)
@@ -200,7 +201,8 @@ class UNet2DConditionGuided(nn.Module):
         )(h, emb)
         h = Transformer2D(
             mid_heads, mid_ch // mid_heads, upcast=cfg.upcast_attention,
-            strict_upcast=cfg.strict_upcast, groups=cfg.norm_num_groups,
+            strict_upcast=cfg.strict_upcast,
+            use_flash=cfg.use_flash_attention, groups=cfg.norm_num_groups,
             dtype=compute, name="mid_attn_0",
         )(h, encoder_hidden_states, mask_bias)
         h = ResnetBlock2D(
@@ -226,6 +228,7 @@ class UNet2DConditionGuided(nn.Module):
                     h = Transformer2D(
                         heads, out_ch // heads, upcast=cfg.upcast_attention,
                         strict_upcast=cfg.strict_upcast,
+                        use_flash=cfg.use_flash_attention,
                         groups=cfg.norm_num_groups, dtype=compute,
                         name=f"up_{i}_attn_{j}",
                     )(h, encoder_hidden_states, mask_bias)

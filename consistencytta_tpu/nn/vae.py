@@ -60,13 +60,22 @@ class ResnetBlock(nn.Module):
 
 
 class AttnBlock(nn.Module):
-    """Single-head vanilla spatial attention (modules.py:185-230)."""
+    """Single-head vanilla spatial attention (modules.py:185-230).
+
+    fp32 paths keep exact-parity HIGHEST-precision einsum math; bf16 runs on
+    a TPU backend route through the Pallas flash kernel (the 4096-token
+    logits tensor is [B, 4096, 4096] — the decode graph's biggest
+    intermediate), with fp32 online softmax inside the kernel."""
 
     groups: int = 32
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from consistencytta_tpu.nn.attention import _on_tpu
+        from consistencytta_tpu.ops.pallas_attention import flash_self_attention
+
         b, h, w, c = x.shape
         hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="q")(hidden)
@@ -76,16 +85,25 @@ class AttnBlock(nn.Module):
         q = q.reshape(b, h * w, c)
         k = k.reshape(b, h * w, c)
         v = v.reshape(b, h * w, c)
-        # fp32 attention math regardless of compute dtype
-        logits = jnp.einsum(
-            "bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        ) * (c ** -0.5)
-        weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bqk,bkc->bqc", weights, v.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(x.dtype)
+        if (
+            self.use_flash
+            and self.dtype == jnp.bfloat16
+            and (h * w) % 256 == 0
+            and c % 128 == 0
+            and _on_tpu()
+        ):
+            out = flash_self_attention(q, k, v, scale=c**-0.5)
+        else:
+            # fp32 attention math regardless of compute dtype
+            logits = jnp.einsum(
+                "bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ) * (c ** -0.5)
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bqk,bkc->bqc", weights, v.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(x.dtype)
         out = out.reshape(b, h, w, c)
         out = nn.Conv(
             c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"
@@ -125,7 +143,7 @@ class Encoder(nn.Module):
 
         block_in = ch * cfg.ch_mult[-1]
         h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock(cfg.norm_num_groups, use_flash=cfg.use_flash_attention, dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
 
         h = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="norm_out")(h)
@@ -156,7 +174,7 @@ class Decoder(nn.Module):
             name="conv_in",
         )(z)
         h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn_1")(h)
+        h = AttnBlock(cfg.norm_num_groups, use_flash=cfg.use_flash_attention, dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(block_in, cfg.norm_num_groups, dtype=self.dtype, name="mid_block_2")(h)
 
         for i_level in reversed(range(num_levels)):

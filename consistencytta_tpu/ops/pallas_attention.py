@@ -1,0 +1,199 @@
+"""Fused flash self-attention Pallas kernel for the UNet's hot shapes.
+
+The UNet's level-0 self-attention runs 4096 tokens x 5 heads x head_dim 51
+(reference diffusers/models/attention_processor.py materializes the same
+[B*H, S, S] logits tensor via baddbmm; our previous XLA einsum path did too).
+At batch 16 that tensor is 2.7 GB in bf16 and the op is HBM-bound: XLA makes
+~4 passes over it (write logits, softmax stats, probs, PV read). This kernel
+never materializes it — the classic flash-attention online softmax, tiled
+over (batch*heads, q-blocks, k-blocks) with fp32 running max/sum/accumulator
+in VMEM scratch.
+
+Specializations for this model family (which keep the kernel simple):
+  * non-causal, no attention mask (UNet self-attention attends everywhere;
+    only *cross*-attention carries the text padding mask, and its K=77 logits
+    are tiny so it stays on the einsum path),
+  * head_dim 51 zero-padded to 64 by the caller (zero q/k columns add zero
+    terms to every dot product and zero v columns produce zero output
+    columns, so the result is exact — mirroring the reference's
+    strict-parity math while giving the MXU a clean contraction),
+  * fp32 logits *inside* the kernel (free: the MXU accumulates fp32), so the
+    numerics are strictly tighter than the bf16-stored-logits einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Large-negative instead of -inf: exp(-1e30 - m) underflows to 0 cleanly and
+# avoids (-inf) - (-inf) = nan in the running-max correction on the first
+# block.
+_NEG_INF = -1e30
+
+
+_LANES = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    """Online-softmax step. m/l scratch are [block_q, 128] lane-replicated;
+    the accumulator is kept *normalized* every step (acc holds the current
+    softmax-weighted average) — the lowering-friendly formulation of the
+    upstream TPU flash kernel: all lane broadcasts are explicit jnp.tile /
+    [:, :d] slices, never [:, :1] strided broadcasts, which Mosaic lowers
+    to pathological element loops."""
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, _NEG_INF, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    v = v_ref[0]  # [bk, d]
+    bk = k.shape[0]
+    d = q.shape[-1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale  # [bq, bk] fp32
+
+    if d < _LANES:
+        lane_bcast = lambda x: x[:, :d]
+    else:
+        lane_bcast = lambda x: jnp.tile(x, (1, d // _LANES))
+
+    m_prev = m_ref[:]  # [bq, 128]
+    l_prev = l_ref[:]
+    m_curr = jnp.max(s, axis=1)[:, None]  # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
+    p = jnp.exp(s - jnp.tile(m_next, (1, bk // _LANES)))  # [bq, bk]
+    alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+    l_corr = alpha * l_prev
+    l_next = jnp.sum(p, axis=1)[:, None] + l_corr  # [bq, 128]
+    m_ref[:] = m_next
+    l_ref[:] = l_next
+
+    l_next_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, d]
+    acc_ref[:] = acc_ref[:] * lane_bcast(l_corr * l_next_inv) + pv * lane_bcast(
+        l_next_inv
+    )
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _flash_core(q, k, v, scale, block_q, block_k, interpret):
+    bh, s, d = q.shape
+    grid = (bh, s // block_q, s // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * s * d,
+            bytes_accessed=q.nbytes + k.nbytes + v.nbytes + q.nbytes,
+            transcendentals=bh * s * s,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_core(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_core(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    """Analytic attention backward in plain XLA (fp32 probs recompute).
+
+    pallas_call has no autodiff rule, and the training step differentiates
+    the student UNet through its self-attention; this backward keeps grads
+    exact (same math XLA autodiff would emit for the einsum path) while the
+    forward keeps the flash kernel. Traffic matches the einsum backward —
+    the flash win stays on the forward/inference side.
+    """
+    q, k, v = res
+    q32, k32, v32, g32 = (x.astype(jnp.float32) for x in (q, k, v, g))
+    s = jnp.einsum("bqd,bkd->bqk", q32, k32) * scale
+    p = jax.nn.softmax(s, axis=-1)  # [BH, Sq, Sk]
+    dv = jnp.einsum("bqk,bqd->bkd", p, g32)
+    dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k32) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_self_attention(
+    q: jax.Array,  # [BH, S, D]
+    k: jax.Array,  # [BH, S, D]
+    v: jax.Array,  # [BH, S, D]
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q @ k.T * scale) @ v without materializing the logits.
+
+    D must be a multiple of 64 (callers zero-pad head_dim 51 -> 64) and S a
+    multiple of the block sizes. Output dtype follows q. Differentiable via
+    a custom VJP (flash forward, analytic einsum backward).
+    """
+    bh, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    if s % block_q or s % block_k:
+        raise ValueError(f"sequence {s} not divisible by blocks {block_q}/{block_k}")
+    if block_k % 128:
+        raise ValueError(f"block_k {block_k} must be a multiple of 128 lanes")
+    if d % 64 or (d > 128 and d % 128):
+        raise ValueError(
+            f"head dim {d} must be 64 or a multiple of 128 (callers zero-pad)"
+        )
+    return _flash(q, k, v, scale, block_q, block_k, interpret)
+
+
+def attention_reference(q, k, v, scale):
+    """Plain einsum attention over [BH, S, D] — the numeric oracle for the
+    kernel's tests (fp32 logits + fp32 softmax, like the kernel)."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
