@@ -103,6 +103,9 @@ class HiFiGANConfig(JsonConfig):
     )
     sampling_rate: int = 16000
     lrelu_slope: float = 0.1
+    # space-to-depth re-channeling of the small-channel resblock convs on
+    # TPU backends (exact math; see nn/layers.py conv1d_rechanneled)
+    rechannel_small_convs: bool = True
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from consistencytta_tpu.configs import HiFiGANConfig
-from consistencytta_tpu.nn.layers import conv_transpose_1d
+from consistencytta_tpu.nn.layers import (
+    FastConv1d,
+    _layers_on_tpu,
+    conv_transpose_1d,
+    conv_transpose_1d_blocked,
+)
 
 
 def _get_padding(kernel_size: int, dilation: int = 1) -> int:
@@ -25,34 +30,43 @@ def _get_padding(kernel_size: int, dilation: int = 1) -> int:
 
 
 class ResBlock(nn.Module):
-    """Multi-dilation residual block (models.py:20-63)."""
+    """Multi-dilation residual block (models.py:20-63).
+
+    Convs are FastConv1d: identical params/math to nn.Conv. With
+    block_s > 1 the whole block runs in space-to-depth block space
+    ([B, L/s, s*C], s*C == 128) — the small-channel tail levels (C=64/32)
+    otherwise run at ~8% MXU utilization and the C=32 level alone was 30%
+    of vocoder wall-clock (PERF.md)."""
 
     channels: int
     kernel_size: int
     dilations: tuple
     lrelu_slope: float = 0.1
+    block_s: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             xt = nn.leaky_relu(x, self.lrelu_slope)
-            xt = nn.Conv(
+            xt = FastConv1d(
                 self.channels,
-                (self.kernel_size,),
-                kernel_dilation=(d,),
+                self.kernel_size,
+                kernel_dilation=d,
                 padding=_get_padding(self.kernel_size, d),
+                block_s=self.block_s,
+                in_features=self.channels,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name=f"convs1_{i}",
             )(xt)
             xt = nn.leaky_relu(xt, self.lrelu_slope)
-            xt = nn.Conv(
+            xt = FastConv1d(
                 self.channels,
-                (self.kernel_size,),
+                self.kernel_size,
                 padding=_get_padding(self.kernel_size, 1),
+                block_s=self.block_s,
+                in_features=self.channels,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name=f"convs2_{i}",
             )(xt)
             x = xt + x
@@ -73,6 +87,14 @@ class HiFiGANGenerator(nn.Module):
             param_dtype=jnp.float32, name="conv_pre",
         )(mel)
 
+        # Space-to-depth tail: once channels drop below the 128-lane MXU
+        # width, the level runs entirely in block space [B, L/s, s*C] with
+        # s*C == 128 — the transposed conv enters it (stride-1 block conv),
+        # resblocks/leaky_relu/averaging stay in it, and only conv_post's
+        # output reshapes back to samples. Exact math; see layers.py.
+        allow_block = cfg.rechannel_small_convs and _layers_on_tpu()
+        s = 1  # current block factor of x
+
         num_kernels = len(cfg.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, cfg.lrelu_slope)
@@ -86,27 +108,41 @@ class HiFiGANGenerator(nn.Module):
             bias = self.param(
                 f"ups_{i}_bias", nn.initializers.zeros, (ch,), jnp.float32
             )
-            x = conv_transpose_1d(
-                x, kernel.astype(self.dtype), stride=u, padding=(k - u) // 2
-            ) + bias.astype(self.dtype)
+            enter_block = (
+                allow_block
+                and ch * s * u == 128
+                and k - u == 2 * ((k - u) // 2)
+            )
+            if enter_block or s > 1:
+                x = conv_transpose_1d_blocked(
+                    x, kernel.astype(self.dtype), stride=u,
+                    padding=(k - u) // 2, s_in=s,
+                ) + jnp.tile(bias.astype(self.dtype), s * u)
+                s = s * u
+            else:
+                x = conv_transpose_1d(
+                    x, kernel.astype(self.dtype), stride=u, padding=(k - u) // 2
+                ) + bias.astype(self.dtype)
 
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
                 y = ResBlock(
-                    ch, rk, tuple(rd), cfg.lrelu_slope, dtype=self.dtype,
-                    name=f"resblock_{i}_{j}",
+                    ch, rk, tuple(rd), cfg.lrelu_slope, block_s=s,
+                    dtype=self.dtype, name=f"resblock_{i}_{j}",
                 )(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 
         x = nn.leaky_relu(x)  # default slope 0.01 (models.py:113 F.leaky_relu)
-        x = nn.Conv(
-            1, (7,), padding=3, dtype=self.dtype, param_dtype=jnp.float32,
-            name="conv_post",
+        x = FastConv1d(
+            1, 7, padding=3, block_s=s, in_features=x.shape[-1] // s,
+            dtype=self.dtype, name="conv_post",
         )(x)
-        return jnp.tanh(x)[..., 0]  # [B, T_samples]
+        x = jnp.tanh(x)
+        b = x.shape[0]
+        return x.reshape(b, -1)  # [B, T_samples]
 
 
 def vocoder_postprocess(wav: jax.Array) -> jax.Array:

@@ -76,6 +76,200 @@ class LayerNorm(nn.Module):
         return out.astype(orig_dtype)
 
 
+def _rechannel_plan(k: int, dilation: int, padding: int, s: int):
+    """Index plan for space-to-depth conv re-channeling.
+
+    A stride-1, same-length 1-D conv y[pos] = sum_t x[pos + t*d - p] W[t]
+    over C channels becomes, for output blocks of s positions
+    (pos = s*m + j), a conv over x' [B, L/s, s*C] with a block-sparse
+    kernel: input offset off = j + t*d - p lands in block T = off // s at
+    phase i = off % s, so K'[T - Tmin][i*C_in + ci, j*C_out + co] = W[t].
+    Returns (Tmin, Tmax, [(j, t, T, i), ...])."""
+    entries = []
+    for j in range(s):
+        for t in range(k):
+            off = j + t * dilation - padding
+            entries.append((j, t, off // s, off % s))
+    tmin = min(e[2] for e in entries)
+    tmax = max(e[2] for e in entries)
+    return tmin, tmax, entries
+
+
+def conv1d_rechanneled_pre(
+    x_blocked: jax.Array,  # [B, L/s, s*C_in], block-major (position-major)
+    kernel: jax.Array,  # [k, C_in, C_out] (flax WIO layout)
+    dilation: int,
+    padding: int,
+    s: int,
+) -> jax.Array:
+    """conv1d_rechanneled on input already living in block space; returns
+    the output in block space [B, L/s, s*C_out] (no reshapes — callers keep
+    whole network segments blocked to avoid materializing narrow-lane
+    tensors)."""
+    k, c_in, c_out = kernel.shape
+    tmin, tmax, entries = _rechannel_plan(k, dilation, padding, s)
+    n_taps = tmax - tmin + 1
+
+    kp = jnp.zeros((n_taps, s * c_in, s * c_out), kernel.dtype)
+    for j, t, tt, i in entries:
+        kp = kp.at[
+            tt - tmin, i * c_in : (i + 1) * c_in, j * c_out : (j + 1) * c_out
+        ].set(kernel[t])
+
+    return jax.lax.conv_general_dilated(
+        x_blocked,
+        kp,
+        window_strides=(1,),
+        padding=[(-tmin, tmax)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # [B, L/s, s*C_out]
+
+
+def conv1d_rechanneled(
+    x: jax.Array,  # [B, L, C_in]
+    kernel: jax.Array,  # [k, C_in, C_out] (flax WIO layout)
+    dilation: int,
+    padding: int,
+    s: int,
+) -> jax.Array:
+    """Stride-1 same-length conv1d computed at s-fold wider channels.
+
+    Mathematically identical to lax 1-D conv with the given kernel (the
+    block-sparse kernel contains exactly the same products, plus structured
+    zeros), but the matmul contraction/output dims become s*C — sized for
+    the 128-wide MXU. Used for the HiFi-GAN tail levels (C=32/64), where
+    the plain conv runs at ~8% MXU utilization.
+    """
+    k, c_in, c_out = kernel.shape
+    b, length, _ = x.shape
+    xp = x.reshape(b, length // s, s * c_in)
+    yp = conv1d_rechanneled_pre(xp, kernel, dilation, padding, s)
+    return yp.reshape(b, length, c_out)
+
+
+def conv_transpose_1d_blocked(
+    x_blocked: jax.Array,  # [B, M, s_in*C_in]
+    kernel: jax.Array,  # [K, C_out, C_in] (conv_transpose_1d layout)
+    stride: int,
+    padding: int,
+    s_in: int,
+) -> jax.Array:
+    """torch ConvTranspose1d computed entirely in block space.
+
+    Input blocks of s_in positions come in, blocks of s_out = stride*s_in
+    positions come out, via ONE stride-1 conv with a block-sparse kernel:
+
+      y[s_out*m + j] = sum_t x[t] W[k],  k = s_out*m + j + p - stride*t
+      with t = s_in*(m - T) + i  =>  k = stride*s_in*T - stride*i + j + p
+
+    Exactly equal to conv_transpose_1d followed by reshape, but the MXU
+    sees s_in*C_in x s_out*C_out matmuls and no narrow-lane tensors ever
+    materialize. Requires the same-length geometry the HiFi-GAN upsamplers
+    use ((L-1)*stride - 2*padding + K == stride*L, i.e. K - stride == 2p).
+    """
+    k_len, c_out, c_in = kernel.shape
+    if k_len - stride != 2 * padding:
+        raise ValueError(
+            "blocked conv-transpose requires K - stride == 2*padding "
+            f"(got K={k_len}, stride={stride}, padding={padding})"
+        )
+    s_out = stride * s_in
+
+    entries = []  # (T, i, j, k)
+    for i in range(s_in):
+        for j in range(s_out):
+            for k in range(k_len):
+                num = k - j - padding + stride * i
+                if num % (stride * s_in) == 0:
+                    entries.append((num // (stride * s_in), i, j, k))
+    tmin = min(e[0] for e in entries)
+    tmax = max(e[0] for e in entries)
+    n_taps = tmax - tmin + 1
+
+    w = kernel.transpose(0, 2, 1)  # [K, C_in, C_out]
+    kp = jnp.zeros((n_taps, s_in * c_in, s_out * c_out), kernel.dtype)
+    for tt, i, j, k in entries:
+        kp = kp.at[
+            tt - tmin, i * c_in : (i + 1) * c_in, j * c_out : (j + 1) * c_out
+        ].set(w[k])
+
+    # y'[m] = sum_T x'[m - T] K'[T]: correlation with taps reversed and
+    # left-pad for the positive-T (past) side.
+    kp = jnp.flip(kp, axis=0)
+    return jax.lax.conv_general_dilated(
+        x_blocked,
+        kp,
+        window_strides=(1,),
+        padding=[(tmax, -tmin)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )  # [B, M, s_out*C_out]
+
+
+class FastConv1d(nn.Module):
+    """Drop-in stride-1 conv1d with torch/flax-compatible params
+    ({kernel [k, C_in, C_out], bias [C_out]}) that supports block-space
+    (space-to-depth) execution for small channel counts.
+
+    block_s == 1: input is the ordinary [B, L, C_in] and the plain lax conv
+    runs — fp32 CPU parity tests exercise exactly the reference
+    formulation. block_s > 1: the input is pre-blocked [B, L/s, s*C_in]
+    (in_features must give the true C_in) and the conv runs re-channeled
+    via conv1d_rechanneled_pre, returning blocked output [B, L/s, s*C_out].
+    Same-length geometry (dilation*(k-1) == 2*padding) is required then."""
+
+    features: int
+    kernel_size: int
+    kernel_dilation: int = 1
+    padding: int = 0
+    block_s: int = 1
+    in_features: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.block_s
+        c_in = self.in_features if self.in_features is not None else x.shape[-1]
+        if s > 1:
+            if self.kernel_dilation * (self.kernel_size - 1) != 2 * self.padding:
+                raise ValueError("blocked FastConv1d requires same-length geometry")
+            if x.shape[-1] != s * c_in:
+                raise ValueError(
+                    f"blocked input last dim {x.shape[-1]} != s*C_in {s * c_in}"
+                )
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, c_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        if s > 1:
+            y = conv1d_rechanneled_pre(
+                x, kernel, self.kernel_dilation, self.padding, s
+            )
+            return y + jnp.tile(bias.astype(self.dtype), s)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.kernel_dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+def _layers_on_tpu() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform in ("tpu", "axon")
+
+
 def conv_transpose_1d(
     x: jax.Array, kernel: jax.Array, stride: int, padding: int
 ) -> jax.Array:

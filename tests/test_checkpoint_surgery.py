@@ -58,6 +58,7 @@ class TestTolerantGuidedImport:
             "norm_num_groups": 8,
         })
 
+    @pytest.mark.slow
     def test_init_guidance_params_matches_flax_init_structure(self):
         import jax
         import jax.numpy as jnp
@@ -96,6 +97,7 @@ class TestTolerantGuidedImport:
         not __import__("os").path.isdir("/root/reference"),
         reason="reference repo not mounted",
     )
+    @pytest.mark.slow
     def test_tango_cold_start_fan_out(self, rng):
         """Full repro of the stage-1 load: a plain (unguided) torch UNet's
         weights initialize all four roles; the guided conversion must not

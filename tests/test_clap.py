@@ -182,6 +182,7 @@ class TestRobertaParity:
 
 @requires_reference
 class TestHTSATParity:
+    @pytest.mark.slow
     def test_audio_tower_matches_reference(self, rng):
         import torch
 

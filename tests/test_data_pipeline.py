@@ -103,6 +103,7 @@ class TestMixing:
 
 
 class TestEasyAPI:
+    @pytest.mark.slow
     def test_easy_generate_tiny(self):
         from consistencytta_tpu.configs import PipelineConfig
         from consistencytta_tpu.easy import ConsistencyTTA

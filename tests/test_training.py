@@ -104,6 +104,7 @@ class TestConsistencyStep:
         swap = ema_update(shadow, param, 0.0)
         np.testing.assert_allclose(np.asarray(swap["w"]), np.asarray(param["w"]), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_nan_batch_skips_update(self, pipeline, params, frozen, rng):
         sched = make_heun_schedule(pipeline.config.scheduler, 18)
         tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, num_warmup_steps=0))
@@ -128,6 +129,7 @@ class TestConsistencyStep:
             ):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_poisoned_grads_skip_update(self, pipeline, params, frozen, rng):
         """Finite loss + non-finite grads must leave params/opt state
         unchanged (stricter than the reference's loss-only check): sqrt at 0
@@ -154,6 +156,7 @@ class TestConsistencyStep:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_grad_accumulation_matches_big_batch_direction(
         self, pipeline, params, frozen, rng
     ):
@@ -168,6 +171,7 @@ class TestConsistencyStep:
         state2, metrics = step2(state, frozen, make_batch(rng), jax.random.PRNGKey(3))
         assert np.isfinite(float(metrics["loss"]))
 
+    @pytest.mark.slow
     def test_ddim_variant(self, pipeline, params, frozen, rng):
         from consistencytta_tpu.ops.schedulers import make_ddim_schedule
 
@@ -184,6 +188,7 @@ class TestConsistencyStep:
 
 
 class TestValidationStep:
+    @pytest.mark.slow
     def test_four_losses(self, pipeline, params, frozen, rng):
         sched = make_heun_schedule(pipeline.config.scheduler, 6)
         tx = make_optimizer(OptimizerConfig())
@@ -198,6 +203,7 @@ class TestValidationStep:
 
 
 class TestGuidedStep:
+    @pytest.mark.slow
     def test_stage1_step(self, pipeline, params, frozen, rng):
         sched = make_ddpm_schedule(pipeline.config.scheduler)
         tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, num_warmup_steps=0))
@@ -209,6 +215,7 @@ class TestGuidedStep:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_dp_step_on_8_devices(self, pipeline, params, frozen, rng):
         assert len(jax.devices()) == 8
         mesh = make_mesh()

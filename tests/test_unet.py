@@ -118,6 +118,7 @@ class TestUNetParity:
 
 
 class TestUNetShapes:
+    @pytest.mark.slow
     def test_product_latent_shape(self, rng):
         """Forward at the real latent geometry [B, 256, 16, 8] with a tiny
         width config: shape preservation + finite output."""

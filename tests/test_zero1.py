@@ -43,6 +43,7 @@ class TestZero1:
         s = zero1_spec(L((3, 3)), mesh)  # indivisible -> replicated
         assert s.spec == shd.PartitionSpec()
 
+    @pytest.mark.slow
     def test_zero1_step_matches_replicated(self, rng):
         pipeline = Pipeline.create(tiny_config())
         params = pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
