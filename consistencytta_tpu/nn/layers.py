@@ -18,6 +18,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+_GN_RELAYOUT_FREE = True
+
+
 def swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -34,20 +37,49 @@ class GroupNorm(nn.Module):
     epsilon: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
+    # Compute group statistics without the [.., G, C/G] reshape: splitting
+    # the channel (lane) axis forces a full relayout of the activation on
+    # TPU. Instead reduce spatially to per-channel sums (layout-preserving)
+    # and fold channels into groups with a tiny [C, G] indicator matmul.
+    # Same sums, same two-pass variance — fp32-identical math.
+    # (_GN_RELAYOUT_FREE is a module-level kill switch for A/B timing.)
+    relayout_free: bool = True
+
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
         c = x.shape[-1]
-        if c % self.num_groups != 0:
-            raise ValueError(f"channels {c} not divisible by groups {self.num_groups}")
+        g = self.num_groups
+        if c % g != 0:
+            raise ValueError(f"channels {c} not divisible by groups {g}")
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         x32 = x.astype(jnp.float32)
         spatial = x32.shape[1:-1]
-        grouped = x32.reshape(
-            (x32.shape[0],) + spatial + (self.num_groups, c // self.num_groups)
-        )
+        if self.relayout_free and _GN_RELAYOUT_FREE:
+            spatial_axes = tuple(range(1, 1 + len(spatial)))
+            n = c // g
+            size = n
+            for d in spatial:
+                size *= d
+            # group-membership matrix (consecutive channel groups, torch
+            # semantics); constant-folded by XLA
+            ch = jnp.arange(c) // n  # [C]
+            ind = (ch[:, None] == jnp.arange(g)[None, :]).astype(jnp.float32)
+
+            s1 = jnp.sum(x32, axis=spatial_axes)  # [B, C]
+            mean_g = (s1 @ ind) / size  # [B, G]
+            mean_c = mean_g @ ind.T  # [B, C]
+            bshape = (x32.shape[0],) + (1,) * len(spatial) + (c,)
+            centered = x32 - mean_c.reshape(bshape)
+            s2 = jnp.sum(centered * centered, axis=spatial_axes)  # [B, C]
+            var_g = (s2 @ ind) / size  # [B, G]
+            rstd_c = jax.lax.rsqrt(var_g + self.epsilon) @ ind.T  # [B, C]
+            out = centered * rstd_c.reshape(bshape) * scale + bias
+            return out.astype(orig_dtype)
+
+        grouped = x32.reshape((x32.shape[0],) + spatial + (g, c // g))
         axes = tuple(range(1, 1 + len(spatial))) + (grouped.ndim - 1,)
         mean = grouped.mean(axis=axes, keepdims=True)
         var = grouped.var(axis=axes, keepdims=True)
