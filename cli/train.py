@@ -67,6 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--per_device_train_batch_size", type=int, default=2)
     p.add_argument("--per_device_eval_batch_size", type=int, default=2)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    # disable student-forward rematerialization: ~9% faster steps when the
+    # activations fit HBM (measured 507 -> 465 ms for the LoRA step; keep
+    # remat for full-param single-chip runs)
+    p.add_argument("--no_remat", action="store_true")
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--num_train_epochs", type=int, default=40)
     p.add_argument("--max_train_steps", type=int, default=None)
@@ -230,6 +234,7 @@ def main(argv=None):
             loss_type=args.loss_type if args.loss_type != "clap" else "mse",
             use_edm=args.use_edm,
             accum_steps=args.gradient_accumulation_steps,
+            remat_student=not args.no_remat,
         )
 
         clap_bits = None
