@@ -9,10 +9,13 @@ inference.sh:1-27).
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline denominator: the reference publishes no latency numbers (only
-~400x NFE reduction and multi-day training wall-clocks, README.md:121-142).
-We record progress against an engineering estimate of the reference's
-single-GPU 1-NFE rate on its RTX-6000-Ada-class eval hardware:
-~0.4 s / clip => 2.5 clips/s. The absolute `value` is the number to trust.
+~400x NFE reduction and multi-day training wall-clocks, README.md:121-142),
+so the denominator is the MEASURED multi-step teacher baseline on this same
+chip — build_teacher_generate_fn, 18 Heun steps (35 NFE) with CFG, batch
+32, bf16: 2.21 clips/s/chip (PERF.md). vs_baseline is therefore the
+consistency-distillation speedup realized end-to-end on identical hardware
+(the reference's corresponding figure is its ~400x core-NFE claim, which
+ignores the text encoder, VAE, and vocoder).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_CLIPS_PER_SEC = 2.5  # estimated reference single-GPU 1-NFE rate
+BASELINE_CLIPS_PER_SEC = 2.21  # measured same-chip 35-NFE teacher baseline
 
 
 def main() -> None:
