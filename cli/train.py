@@ -12,6 +12,7 @@ Stage 2: consistency distillation (AudioLCM), --use_edm for the shipped
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -255,8 +256,13 @@ def main(argv=None):
                 "text": convert_clap_text(clap_sd),
                 "tokenizer": AutoTokenizer.from_pretrained("roberta-base"),
             }
-            loss_override = build_clap_loss(
-                pipeline, clap_bits["audio"], clap_bits["text"]
+            # towers ride in frozen.clap_audio/clap_text (jit arguments) —
+            # closing them into the step overflows AOT compile requests
+            loss_override = build_clap_loss(pipeline, None, None)
+            frozen = dataclasses.replace(
+                frozen,
+                clap_audio=clap_bits["audio"],
+                clap_text=clap_bits["text"],
             )
 
         if args.use_lora and args.finetune_vae:
@@ -279,10 +285,8 @@ def main(argv=None):
                 build_ftvae_train_step,
             )
 
-            step_fn = build_ftvae_train_step(
-                pipeline, sched, tx, step_cfg,
-                clap_bits["audio"], clap_bits["text"],
-            )
+            # towers ride in frozen.clap_audio/clap_text
+            step_fn = build_ftvae_train_step(pipeline, sched, tx, step_cfg)
         else:
             step_fn = build_consistency_train_step(
                 pipeline, sched, tx, step_cfg, loss_fn_override=loss_override
@@ -308,10 +312,9 @@ def main(argv=None):
                 student_ema=jax.tree_util.tree_map(jnp.array, lora0),
                 opt_state=tx.init(lora0),
             )
-            frozen = PipelineParams(
-                teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
-                t5=params.t5, student=params.student,
-            )
+            frozen = dataclasses.replace(
+                frozen, student=params.student
+            )  # LoRA base weights; preserves clap towers when present
         elif args.loss_type == "clap" and args.finetune_vae:
             from consistencytta_tpu.training.ftvae import FTVAETrainState
 

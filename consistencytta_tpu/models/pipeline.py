@@ -51,6 +51,11 @@ class PipelineParams:
     vocoder: Optional[Params] = None
     t5: Optional[Params] = None
     vae_ema: Optional[Params] = None  # stage-3 EMA decoder pair
+    # stage-3 CLAP towers: threaded through the step as arguments rather
+    # than closed over — closure trees serialize into the AOT compile
+    # request (HTTP 413 on GB-scale trees; PERF.md gotcha)
+    clap_audio: Optional[Params] = None
+    clap_text: Optional[Params] = None
 
 
 @dataclass(frozen=True)

@@ -29,8 +29,17 @@ from consistencytta_tpu.configs import STFTConfig
 from consistencytta_tpu.ops.mel import mel_filterbank, real_dft_basis
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def frame_signal(wav: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """Extract overlapping frames: [B, T] -> [B, n_frames, frame_length]."""
+    """Extract overlapping frames: [B, T] -> [B, n_frames, frame_length].
+
+    Carries a custom VJP: XLA's autodiff of the patches op lowers to a
+    pathological program on TPU (measured ~5 s for one 48 kHz clip batch in
+    the stage-3 CLAP backward); the hand-written backward is the exact
+    overlap-add transpose built from chunk reshapes + static-slice adds."""
     patches = jax.lax.conv_general_dilated_patches(
         wav[:, None, :],  # [B, C=1, T]
         filter_shape=(frame_length,),
@@ -38,6 +47,36 @@ def frame_signal(wav: jax.Array, frame_length: int, hop: int) -> jax.Array:
         padding="VALID",
     )  # [B, frame_length, n_frames]
     return jnp.swapaxes(patches, 1, 2)
+
+
+def _frame_signal_fwd(wav, frame_length, hop):
+    return frame_signal(wav, frame_length, hop), wav.shape
+
+
+def _frame_signal_bwd(frame_length, hop, res, g):
+    """Overlap-add: dwav[n] = sum over frames k and offsets j with
+    k*hop + j == n of g[k, j]. Decompose j = c*hop + r: each chunk c is a
+    contiguous [B, F*hop] run starting at sample c*hop — reshapes and
+    static-slice adds only, no scatter."""
+    b, t = res
+    dtype = g.dtype
+    f = g.shape[1]
+    g = g.astype(jnp.float32)
+    dwav = jnp.zeros((b, t), jnp.float32)
+    n_chunks = -(-frame_length // hop)
+    for c in range(n_chunks):
+        seg = g[:, :, c * hop : min((c + 1) * hop, frame_length)]
+        w = seg.shape[-1]
+        if w < hop:
+            seg = jnp.pad(seg, ((0, 0), (0, 0), (0, hop - w)))
+        flat = seg.reshape(b, f * hop)
+        start = c * hop
+        length = min(f * hop, t - start)
+        dwav = dwav.at[:, start : start + length].add(flat[:, :length])
+    return (dwav.astype(dtype),)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
 
 
 def stft_magnitude(

@@ -32,8 +32,8 @@ from consistencytta_tpu.training.losses import mse_instance
 
 def build_clap_loss(
     pipeline: Pipeline,
-    clap_audio_params: dict,
-    clap_text_params: dict,
+    clap_audio_params: dict = None,
+    clap_text_params: dict = None,
     mse_weight: float = 1.0,
     clap_weight: float = 0.1,
     sample_rate: int = 16000,
@@ -56,7 +56,7 @@ def build_clap_loss(
     text_tower = CLAPTextTower(roberta_config)
     frontend = CLAPMelFrontend(htsat_config)
 
-    def embed_audio(wav_16k):
+    def embed_audio(audio_params, wav_16k):
         wav_16k = wav_16k[:, : int(sample_rate * clip_seconds)]
         wav_48k = resample(wav_16k, sample_rate, 48000)
         # pad/crop to the CLAP clip length (10 s at 48 kHz in production)
@@ -67,19 +67,28 @@ def build_clap_loss(
         else:
             wav_48k = wav_48k[:, :target]
         logmel = frontend(wav_48k)
-        return audio_tower.apply({"params": clap_audio_params}, logmel)
+        return audio_tower.apply({"params": audio_params}, logmel)
 
     embed_audio = jax.checkpoint(embed_audio)
 
     def loss_fn(pred_latent, target_latent, frozen, micro):
+        # prefer tower params threaded through `frozen` (jit arguments);
+        # the build-time params are a closure fallback for small tests —
+        # closing over the full towers overflows AOT compile requests
+        audio_params = (
+            frozen.clap_audio if frozen.clap_audio is not None else clap_audio_params
+        )
+        text_params = (
+            frozen.clap_text if frozen.clap_text is not None else clap_text_params
+        )
         mse = mse_instance(pred_latent, target_latent)
 
         wav_gen = pipeline.decode_latents(frozen.vae, frozen.vocoder, pred_latent)
-        gen_emb = embed_audio(wav_gen)
-        gt_emb = jax.lax.stop_gradient(embed_audio(micro["wav"]))
+        gen_emb = embed_audio(audio_params, wav_gen)
+        gt_emb = jax.lax.stop_gradient(embed_audio(audio_params, micro["wav"]))
         text_emb = jax.lax.stop_gradient(
             text_tower.apply(
-                {"params": clap_text_params},
+                {"params": text_params},
                 micro["clap_text_ids"],
                 micro["clap_text_mask"],
             )

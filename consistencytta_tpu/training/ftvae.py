@@ -77,8 +77,8 @@ def build_ftvae_train_step(
     schedule,
     tx: optax.GradientTransformation,
     cfg: ConsistencyStepConfig,
-    clap_audio_params: dict,
-    clap_text_params: dict,
+    clap_audio_params: dict = None,
+    clap_text_params: dict = None,
     mse_weight: float = 1.0,
     clap_weight: float = 0.1,
     htsat_config=None,
@@ -102,7 +102,7 @@ def build_ftvae_train_step(
     frontend = CLAPMelFrontend(htsat_config)
     sr = pipeline.config.sample_rate
 
-    def embed_audio(wav_16k):
+    def embed_audio(audio_params, wav_16k):
         wav_16k = wav_16k[:, : int(sr * clip_seconds)]
         wav_48k = resample(wav_16k, sr, 48000)
         target = int(48000 * clip_seconds)
@@ -112,11 +112,20 @@ def build_ftvae_train_step(
             if n < target
             else wav_48k[:, :target]
         )
-        return audio_tower.apply({"params": clap_audio_params}, frontend(wav_48k))
+        return audio_tower.apply({"params": audio_params}, frontend(wav_48k))
 
     embed_audio = jax.checkpoint(embed_audio)
 
     def micro_loss(trainable, state, frozen, micro, rng):
+        # CLAP towers may ride in frozen (jit arguments) instead of the
+        # build-time closure — GB-scale closures overflow AOT compile
+        # requests (PERF.md gotcha)
+        audio_p = (
+            frozen.clap_audio if frozen.clap_audio is not None else clap_audio_params
+        )
+        text_p = (
+            frozen.clap_text if frozen.clap_text is not None else clap_text_params
+        )
         target_params = jax.lax.stop_gradient(state.student_target)
         pred, target, snr = consistency_forward(
             pipeline, schedule, cfg, trainable["unet"], target_params, frozen,
@@ -128,11 +137,11 @@ def build_ftvae_train_step(
         # decode through the TRAINABLE decoder
         vae_params = merge_vae_decoder(frozen.vae, trainable["vae_dec"])
         wav_gen = pipeline.decode_latents(vae_params, frozen.vocoder, pred)
-        gen_emb = embed_audio(wav_gen)
-        gt_emb = jax.lax.stop_gradient(embed_audio(micro["wav"]))
+        gen_emb = embed_audio(audio_p, wav_gen)
+        gt_emb = jax.lax.stop_gradient(embed_audio(audio_p, micro["wav"]))
         text_emb = jax.lax.stop_gradient(
             text_tower.apply(
-                {"params": clap_text_params},
+                {"params": text_p},
                 micro["clap_text_ids"],
                 micro["clap_text_mask"],
             )

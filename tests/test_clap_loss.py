@@ -61,6 +61,45 @@ def setup():
 
 
 class TestClapLoss:
+    def test_frozen_threaded_towers_match_closure(self, setup, rng):
+        """The stage-3 CLI threads the CLAP towers through frozen.clap_* as
+        jit ARGUMENTS (closing GB-scale trees into the step overflows AOT
+        compile requests); the loss must be identical either way."""
+        import dataclasses
+
+        pipeline, params, frozen, audio_params, text_params, clip_s = setup
+        closure_loss = build_clap_loss(
+            pipeline, audio_params, text_params,
+            htsat_config=TINY_HTSAT, roberta_config=TINY_ROBERTA,
+            clip_seconds=clip_s,
+        )
+        threaded_loss = build_clap_loss(
+            pipeline,
+            htsat_config=TINY_HTSAT, roberta_config=TINY_ROBERTA,
+            clip_seconds=clip_s,
+        )
+        frozen_threaded = dataclasses.replace(
+            frozen, clap_audio=audio_params, clap_text=text_params
+        )
+        pred = jnp.asarray(
+            rng.standard_normal((2,) + pipeline.latent_shape(1)[1:]), jnp.float32
+        )
+        target = pred * 0.9
+        micro = {
+            "wav": jnp.asarray(
+                rng.standard_normal(
+                    (2, tiny_config().segment_samples)
+                ) * 0.1, jnp.float32,
+            ),
+            "clap_text_ids": jnp.asarray(
+                rng.integers(2, 128, size=(2, 8)), jnp.int32
+            ),
+            "clap_text_mask": jnp.ones((2, 8), jnp.int32),
+        }
+        a = closure_loss(pred, target, frozen, micro)
+        b = threaded_loss(pred, target, frozen_threaded, micro)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
     def test_stage3_step_runs_and_differs_from_mse(self, setup, rng):
         pipeline, params, frozen, audio_params, text_params, clip_s = setup
         sched = make_heun_schedule(pipeline.config.scheduler, 18)

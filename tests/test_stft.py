@@ -17,7 +17,7 @@ from consistencytta_tpu.ops.mel import (
     mel_to_hz,
     pad_center,
 )
-from consistencytta_tpu.ops.stft import MelFrontend, stft_magnitude
+from consistencytta_tpu.ops.stft import frame_signal, MelFrontend, stft_magnitude
 
 
 def numpy_reference_stft(wav, filter_length=1024, hop=160, win_length=1024):
@@ -131,3 +131,32 @@ class TestSTFT:
         frontend = MelFrontend(STFTConfig())
         mel, _ = frontend(wav)
         assert np.isfinite(np.asarray(mel)).all()
+
+
+class TestFrameSignalVJP:
+    """frame_signal carries a custom overlap-add backward (XLA's autodiff
+    of the patches op was ~17x slower end-to-end in the stage-3 step); it
+    must match jax autodiff of the plain patches op exactly."""
+
+    def test_backward_matches_autodiff_oracle(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        def frames_ref(wav, length, hop):
+            p = jax.lax.conv_general_dilated_patches(
+                wav[:, None, :], (length,), (hop,), "VALID"
+            )
+            return jnp.swapaxes(p, 1, 2)
+
+        for (length, hop, t) in [(1024, 480, 4800), (1024, 160, 3200),
+                                 (512, 512, 2048), (8, 3, 50)]:
+            wav = jnp.asarray(rng.standard_normal((2, t)), jnp.float32)
+            cot = jnp.asarray(
+                rng.standard_normal(frames_ref(wav, length, hop).shape),
+                jnp.float32,
+            )
+            gf = jax.grad(lambda w: jnp.sum(frame_signal(w, length, hop) * cot))(wav)
+            gr = jax.grad(lambda w: jnp.sum(frames_ref(w, length, hop) * cot))(wav)
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=1e-5, rtol=1e-6
+            )

@@ -1,0 +1,84 @@
+"""Compiled-kernel correctness on real TPU hardware.
+
+The CPU suite verifies the same kernels in interpreter mode / fallback
+paths; these tests verify the Mosaic-compiled artifacts — tiling, scratch
+revisiting, and the block-sparse kernels — against fp32 oracles computed
+on-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_flash_attention_compiled_matches_oracle():
+    from consistencytta_tpu.ops.pallas_attention import (
+        attention_reference,
+        flash_self_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    for (bh, s) in [(10, 4096), (20, 1024), (40, 256)]:
+        q = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
+        scale = 51**-0.5
+        out = flash_self_attention(q, k, v, scale)
+        ref = attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+            scale,
+        )
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        rel = err / float(jnp.max(jnp.abs(ref)))
+        assert rel < 2e-2, (bh, s, rel)  # bf16 v-matmul rounding
+
+
+def test_flash_attention_grads_finite_on_device():
+    from consistencytta_tpu.ops.pallas_attention import flash_self_attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((4, 512, 64)), jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_self_attention(q, k, v, 51**-0.5).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, q, q)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_hifigan_block_tail_compiled_matches_plain():
+    import consistencytta_tpu.nn.hifigan as hg
+    from consistencytta_tpu.configs import HiFiGANConfig
+
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (2, 64, 64), jnp.bfloat16)
+    voc_fast = hg.HiFiGANGenerator(HiFiGANConfig(), dtype=jnp.bfloat16)
+    voc_plain = hg.HiFiGANGenerator(
+        HiFiGANConfig(rechannel_small_convs=False), dtype=jnp.bfloat16
+    )
+    params = voc_fast.init(rng, mel)
+    a = jax.jit(lambda p, m: voc_fast.apply(p, m))(params, mel)
+    b = jax.jit(lambda p, m: voc_plain.apply(p, m))(params, mel)
+    err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+    assert err < 5e-4, err
+
+
+def test_pallas_stft_compiled_matches_xla():
+    from consistencytta_tpu.configs import STFTConfig
+    from consistencytta_tpu.ops.pallas_stft import stft_magnitude_pallas
+    from consistencytta_tpu.ops.stft import MelFrontend, stft_magnitude
+
+    frontend = MelFrontend(STFTConfig())
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal((2, 32000)) * 0.3, jnp.float32)
+    a = stft_magnitude_pallas(
+        wav, frontend.cos_basis, frontend.sin_basis, hop_length=160,
+        center_pad=512,
+    )
+    b = stft_magnitude(
+        wav, frontend.cos_basis, frontend.sin_basis, hop_length=160,
+        center_pad=512,
+    )
+    err = float(jnp.max(jnp.abs(a - b)))
+    assert err < 5e-2, err
