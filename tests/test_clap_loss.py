@@ -139,3 +139,58 @@ class TestClapLoss:
             0.0,
         )
         assert d > 0
+
+
+class TestFTVAEStep:
+    """Stage-3 FTVAE variant: trainable VAE decoder + student, CLAP loss,
+    EMA decoder pair (reference audio_consistency_model_ftvae.py:52-113)."""
+
+    def test_ftvae_step_trains_decoder_and_updates_ema(self, setup, rng):
+        import dataclasses
+
+        from consistencytta_tpu.training.ftvae import (
+            FTVAETrainState,
+            build_ftvae_train_step,
+        )
+
+        pipeline, params, frozen, audio_params, text_params, clip_s = setup
+        sched = make_heun_schedule(pipeline.config.scheduler, 18)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, num_warmup_steps=0))
+
+        # towers threaded through frozen (the production AOT-safe path)
+        frozen_t = dataclasses.replace(
+            frozen, clap_audio=audio_params, clap_text=text_params
+        )
+        # ema_decay 0.5 so the one-step EMA delta is visible in fp32 (at
+        # the production 0.999 the delta of a tiny-config step underflows
+        # a float32 lerp — as it would in the reference's torch lerp)
+        step = jax.jit(
+            build_ftvae_train_step(
+                pipeline, sched, tx, ConsistencyStepConfig(ema_decay=0.5),
+                htsat_config=TINY_HTSAT, roberta_config=TINY_ROBERTA,
+                clip_seconds=clip_s,
+            )
+        )
+        state = FTVAETrainState.create(params, tx)
+
+        batch = make_batch(rng, b=2, text_len=8)
+        batch["clap_text_ids"] = rng.integers(2, 128, size=(2, 8)).astype(np.int32)
+        batch["clap_text_mask"] = np.ones((2, 8), np.int32)
+
+        state2, metrics = step(state, frozen_t, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+        def moved(a, b):
+            return sum(
+                float(jnp.abs(x - y).sum())
+                for x, y in zip(
+                    jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+                )
+            )
+
+        assert moved(state2.student, state.student) > 0  # unet trained
+        assert moved(state2.vae_dec, state.vae_dec) > 0  # decoder trained
+        # EMA decoder tracked the update (decay < 1 moves it strictly less)
+        d_ema = moved(state2.vae_dec_ema, state.vae_dec_ema)
+        d_dec = moved(state2.vae_dec, state.vae_dec)
+        assert 0 < d_ema < d_dec
