@@ -82,18 +82,24 @@ class Attention(nn.Module):
         k = k.reshape(b, klen, self.heads, self.head_dim)
         v = v.reshape(b, klen, self.heads, self.head_dim)
 
+        from consistencytta_tpu.ops.pallas_attention import (
+            flash_self_attention,
+            flash_supported,
+        )
+
+        d_pad = -(-self.head_dim // 64) * 64
         if (
             self.use_flash
             and encoder_hidden_states is None
             and mask_bias is None
             and self.dtype == jnp.bfloat16
             and qlen == klen
-            and qlen % 256 == 0
+            # gate on the kernel's own divisibility rules (auto-shrunk
+            # 128-multiple blocks), not a coarser s % 256 check — non-default
+            # audio durations fall back to einsum instead of raising
+            and flash_supported(qlen, d_pad)
             and _on_tpu()
         ):
-            from consistencytta_tpu.ops.pallas_attention import flash_self_attention
-
-            d_pad = -(-self.head_dim // 64) * 64
             pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - self.head_dim))
             fold = lambda t: (
                 jnp.pad(t, pad)

@@ -68,14 +68,21 @@ class GroupNorm(nn.Module):
             ch = jnp.arange(c) // n  # [C]
             ind = (ch[:, None] == jnp.arange(g)[None, :]).astype(jnp.float32)
 
+            # HIGHEST precision on the indicator matmuls: at DEFAULT, TPU
+            # fp32 matmuls use bf16 passes, eroding the fp32 statistics the
+            # x.astype(float32) upcast exists to preserve; the [B,C]x[C,G]
+            # ops are tiny so the cost is nil
+            mm = lambda a, b: jnp.matmul(
+                a, b, precision=jax.lax.Precision.HIGHEST
+            )
             s1 = jnp.sum(x32, axis=spatial_axes)  # [B, C]
-            mean_g = (s1 @ ind) / size  # [B, G]
-            mean_c = mean_g @ ind.T  # [B, C]
+            mean_g = mm(s1, ind) / size  # [B, G]
+            mean_c = mm(mean_g, ind.T)  # [B, C]
             bshape = (x32.shape[0],) + (1,) * len(spatial) + (c,)
             centered = x32 - mean_c.reshape(bshape)
             s2 = jnp.sum(centered * centered, axis=spatial_axes)  # [B, C]
-            var_g = (s2 @ ind) / size  # [B, G]
-            rstd_c = jax.lax.rsqrt(var_g + self.epsilon) @ ind.T  # [B, C]
+            var_g = mm(s2, ind) / size  # [B, G]
+            rstd_c = mm(jax.lax.rsqrt(var_g + self.epsilon), ind.T)  # [B, C]
             out = centered * rstd_c.reshape(bshape) * scale + bias
             return out.astype(orig_dtype)
 

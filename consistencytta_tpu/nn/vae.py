@@ -74,7 +74,10 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         from consistencytta_tpu.nn.attention import _on_tpu
-        from consistencytta_tpu.ops.pallas_attention import flash_self_attention
+        from consistencytta_tpu.ops.pallas_attention import (
+            flash_self_attention,
+            flash_supported,
+        )
 
         b, h, w, c = x.shape
         hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)
@@ -88,8 +91,9 @@ class AttnBlock(nn.Module):
         if (
             self.use_flash
             and self.dtype == jnp.bfloat16
-            and (h * w) % 256 == 0
-            and c % 128 == 0
+            # the kernel's exact divisibility rules (see flash_supported) —
+            # odd spatial extents fall back to the einsum path
+            and flash_supported(h * w, c)
             and _on_tpu()
         ):
             out = flash_self_attention(q, k, v, scale=c**-0.5)

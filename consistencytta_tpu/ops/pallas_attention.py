@@ -24,6 +24,7 @@ Specializations for this model family (which keep the kernel simple):
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -137,27 +138,69 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    """Analytic attention backward in plain XLA (fp32 probs recompute).
+    """Analytic attention backward in plain XLA (fp32 probs recompute),
+    tiled over query blocks.
 
     pallas_call has no autodiff rule, and the training step differentiates
     the student UNet through its self-attention; this backward keeps grads
     exact (same math XLA autodiff would emit for the einsum path) while the
-    forward keeps the flash kernel. Traffic matches the einsum backward —
-    the flash win stays on the forward/inference side.
+    forward keeps the flash kernel.
+
+    The lax.scan over query chunks bounds live logits memory to
+    [BH, chunk, S] fp32 instead of three full [BH, S, S] tensors (~5.4 GB
+    each at the level-0 training shape) — without it the flash path's
+    backward could exceed the HBM the forward just saved.
     """
     q, k, v = res
-    q32, k32, v32, g32 = (x.astype(jnp.float32) for x in (q, k, v, g))
-    s = jnp.einsum("bqd,bkd->bqk", q32, k32) * scale
-    p = jax.nn.softmax(s, axis=-1)  # [BH, Sq, Sk]
-    dv = jnp.einsum("bqk,bqd->bkd", p, g32)
-    dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k32) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q32) * scale
+    bh, s, d = q.shape
+    k32, v32 = k.astype(jnp.float32), v.astype(jnp.float32)
+    bq = pick_block(s, 512) or s
+    nq = s // bq
+
+    def chunk(carry, inp):
+        dk_acc, dv_acc = carry
+        qc, gc = inp  # [bh, bq, d] fp32
+        s_c = jnp.einsum("bqd,bkd->bqk", qc, k32) * scale
+        p_c = jax.nn.softmax(s_c, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p_c, gc)
+        dp_c = jnp.einsum("bqd,bkd->bqk", gc, v32)
+        ds_c = p_c * (dp_c - jnp.sum(dp_c * p_c, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bqk,bkd->bqd", ds_c, k32) * scale
+        dk_acc = dk_acc + jnp.einsum("bqk,bqd->bkd", ds_c, qc) * scale
+        return (dk_acc, dv_acc), dq_c
+
+    q32 = q.astype(jnp.float32).reshape(bh, nq, bq, d).transpose(1, 0, 2, 3)
+    g32 = g.astype(jnp.float32).reshape(bh, nq, bq, d).transpose(1, 0, 2, 3)
+    zero = jnp.zeros((bh, s, d), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(chunk, (zero, zero), (q32, g32))
+    dq = dq_chunks.transpose(1, 0, 2, 3).reshape(bh, s, d)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def pick_block(s: int, want: int, mult: int = 128) -> Optional[int]:
+    """Largest divisor of `s` that is a multiple of `mult` and <= `want` —
+    the block-size the kernel can actually tile (block_k must be a 128-lane
+    multiple; the sweep in PERF.md showed performance is flat for blocks
+    >= 256, so any such divisor is fine). None when no block exists (then
+    callers fall back to the einsum path)."""
+    top = min(want, s)
+    for b in range(top - top % mult, 0, -mult):
+        if s % b == 0:
+            return b
+    return None
+
+
+def flash_supported(s: int, d: int) -> bool:
+    """True when flash_self_attention can run sequence length `s` with
+    (zero-padded) head dim `d` — the dispatch-gate predicate used by
+    nn.attention / nn.vae, matching the kernel's exact divisibility rules
+    rather than a coarser s % 256 check."""
+    if d % 64 or (d > 128 and d % 128):
+        return False
+    return pick_block(s, 512) is not None
 
 
 def flash_self_attention(
@@ -171,22 +214,25 @@ def flash_self_attention(
 ) -> jax.Array:
     """softmax(q @ k.T * scale) @ v without materializing the logits.
 
-    D must be a multiple of 64 (callers zero-pad head_dim 51 -> 64) and S a
-    multiple of the block sizes. Output dtype follows q. Differentiable via
+    D must be a multiple of 64 (callers zero-pad head_dim 51 -> 64). Block
+    sizes shrink automatically to the largest 128-multiple divisors of S
+    (e.g. S=768 -> 384, S=1280 -> 256); S with no such divisor raises —
+    gate with `flash_supported`. Output dtype follows q. Differentiable via
     a custom VJP (flash forward, analytic einsum backward).
     """
     bh, s, d = q.shape
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
-    if s % block_q or s % block_k:
-        raise ValueError(f"sequence {s} not divisible by blocks {block_q}/{block_k}")
-    if block_k % 128:
-        raise ValueError(f"block_k {block_k} must be a multiple of 128 lanes")
+    bq = pick_block(s, block_q)
+    bk = pick_block(s, block_k)
+    if bq is None or bk is None:
+        raise ValueError(
+            f"sequence {s} has no 128-multiple block divisor; "
+            "use flash_supported() to gate dispatch"
+        )
     if d % 64 or (d > 128 and d % 128):
         raise ValueError(
             f"head dim {d} must be 64 or a multiple of 128 (callers zero-pad)"
         )
-    return _flash(q, k, v, scale, block_q, block_k, interpret)
+    return _flash(q, k, v, scale, bq, bk, interpret)
 
 
 def attention_reference(q, k, v, scale):

@@ -61,12 +61,18 @@ def test_fastconv_params_match_nn_conv():
 
 def test_hifigan_block_space_tail_matches_plain():
     """The generator's block-space tail (forced on by patching the backend
-    gate) must reproduce the plain path on shared params."""
+    gate) must reproduce the plain path on shared params.
+
+    upsample_initial_channel=128 with rates (2,2) makes level 0 hit the
+    ch*s*u == 128 entry condition (ch=64, u=2), so the COMPOSED blocked tail
+    — transposed-conv entry, blocked resblocks at s=2 then s=4, bias tiling,
+    blocked conv_post — actually executes (the previous 64-channel config
+    never entered block space and the test was vacuous)."""
     import consistencytta_tpu.nn.hifigan as hg
     from consistencytta_tpu.configs import HiFiGANConfig
 
     cfg = HiFiGANConfig(
-        upsample_initial_channel=64,
+        upsample_initial_channel=128,
         upsample_rates=(2, 2),
         upsample_kernel_sizes=(4, 4),
     )
@@ -74,16 +80,28 @@ def test_hifigan_block_space_tail_matches_plain():
     rng = jax.random.PRNGKey(0)
     mel = jax.random.normal(rng, (2, 16, 64), jnp.float32)
 
+    blocked_calls = []
+    orig_blocked = hg.conv_transpose_1d_blocked
+
+    def counting_blocked(x, kernel, stride, padding, s_in):
+        blocked_calls.append(s_in)
+        return orig_blocked(x, kernel, stride=stride, padding=padding, s_in=s_in)
+
     orig = hg._layers_on_tpu
     try:
         hg._layers_on_tpu = lambda: False
         params = voc.init(rng, mel)
         out_plain = voc.apply(params, mel)
         hg._layers_on_tpu = lambda: True
+        hg.conv_transpose_1d_blocked = counting_blocked
         out_block = voc.apply(params, mel)
     finally:
         hg._layers_on_tpu = orig
+        hg.conv_transpose_1d_blocked = orig_blocked
 
+    # block space entered at level 0 (s_in=1) and CONTINUED at level 1
+    # (s_in=2) — the s>1 path is the one with the bias tiling to verify
+    assert blocked_calls == [1, 2], f"block path not taken: {blocked_calls}"
     assert out_plain.shape == out_block.shape
     np.testing.assert_allclose(
         np.asarray(out_plain), np.asarray(out_block), atol=1e-5, rtol=1e-5
