@@ -118,6 +118,10 @@ def load_frozen_and_roles(
 
     roles = None       # torch state dicts, need key surgery + conversion
     flax_roles = None  # already-flax param trees, assigned verbatim
+    # stage-3 FTVAE product: trained decoder pair + EMA pair, applied to
+    # params.vae / params.vae_ema once the base VAE is in place
+    vae_dec_tree = None
+    vae_dec_ema_tree = None
     if model_path:
         if is_orbax_checkpoint(model_path):
             state, frozen_tree = _restore_orbax_roles(model_path)
@@ -130,9 +134,42 @@ def load_frozen_and_roles(
                 for k in FROZEN_KEYS:
                     if frozen_tree.get(k) is not None:
                         setattr(params, k, frozen_tree[k])
+            # FTVAE orbax state (training.ftvae.FTVAETrainState): the
+            # fine-tuned decoder pair + its EMA shadow load back for
+            # inference (reference load_pretrained,
+            # models/audio_consistency_model_ftvae.py:69-91)
+            if isinstance(state, dict):
+                vae_dec_tree = state.get("vae_dec")
+                vae_dec_ema_tree = state.get("vae_dec_ema")
+            # LoRA orbax state: roles hold rank-r A/B factors; merge into
+            # the base student weights saved in the frozen tree (the
+            # reference ships LoRA runs as runnable modules,
+            # models/audio_distilled_model.py:116-145)
+            from consistencytta_tpu.training.lora import is_lora_tree, merge_lora
+
+            if flax_roles and any(is_lora_tree(t) for t in flax_roles.values()):
+                base = frozen_tree.get("student") if frozen_tree else None
+                if base is None:
+                    raise ValueError(
+                        f"{model_path} holds LoRA factors but no base student "
+                        "weights in its frozen tree; cannot merge for inference"
+                    )
+                flax_roles = {
+                    r: (merge_lora(base, t) if is_lora_tree(t) else t)
+                    for r, t in flax_roles.items()
+                }
         else:
             sd = ti.load_torch_state_dict(model_path)
             roles = ti.split_consistencytta_checkpoint(sd)
+            ft_trained, ft_ema = ti.extract_ftvae_decoders(sd)
+            if ft_trained is not None:
+                vae_dec_tree = ti.convert_vae_decoder_pair(
+                    ft_trained, pipeline.config.vae
+                )
+            if ft_ema is not None:
+                vae_dec_ema_tree = ti.convert_vae_decoder_pair(
+                    ft_ema, pipeline.config.vae
+                )
     else:
         stage1_orbax = stage1_model and is_orbax_checkpoint(stage1_model)
         if tango_model:
@@ -174,6 +211,19 @@ def load_frozen_and_roles(
     if flax_roles:
         for role, tree in flax_roles.items():
             setattr(params, role, tree)
+
+    # apply the FTVAE decoder pair last, over whichever base VAE loaded
+    # (reference: "Replacing VAE with model's VAE", inference.py:156-158;
+    # EMA pair selected at decode via use_ema, autoencoder.py:91-103)
+    if vae_dec_tree is not None:
+        if params.vae is None:
+            raise ValueError(
+                "FTVAE decoder weights found but no base VAE loaded; pass "
+                "--vae_checkpoint (or an orbax checkpoint with a frozen vae)"
+            )
+        params.vae = {**params.vae, **vae_dec_tree}
+    if vae_dec_ema_tree is not None:
+        params.vae_ema = vae_dec_ema_tree
 
     return params
 

@@ -159,21 +159,36 @@ def main(argv=None):
     )
     train_ds = T2ADataset.from_json(
         args.train_file, args.text_column, args.audio_column, args.num_examples,
-        segment_length=config.segment_samples,
+        prefix=args.prefix, segment_length=config.segment_samples,
     )
     val_ds = T2ADataset.from_json(
         args.validation_file, args.text_column, args.audio_column,
-        segment_length=config.segment_samples,
+        prefix=args.prefix, segment_length=config.segment_samples,
     )
 
     clap_tok = None
+    clap_sd = None
+    clap_cfgs = (None, None)  # (HTSATConfig, RobertaConfig)
     if args.loss_type == "clap":
-        from transformers import AutoTokenizer
+        # stage-3: load the CLAP checkpoint up front — structural dims infer
+        # from its tensor shapes so any laion_clap-format checkpoint (incl.
+        # tiny test ones) works, and the tokenizer is bounded by the text
+        # tower's actual vocab. HF RoBERTa when resolvable, hash fallback
+        # offline — never None (None used to surface as
+        # KeyError('clap_text_ids') mid-step).
+        from consistencytta_tpu.evaluation.clap_model import infer_clap_configs
+        from consistencytta_tpu.io.torch_import import load_torch_state_dict
+        from consistencytta_tpu.text.tokenizer import load_clap_tokenizer
 
-        try:
-            clap_tok = AutoTokenizer.from_pretrained("roberta-base")
-        except Exception:
-            clap_tok = None
+        if not os.path.exists(args.clap_checkpoint):
+            raise FileNotFoundError(
+                f"--loss_type clap needs --clap_checkpoint; "
+                f"{args.clap_checkpoint} does not exist "
+                "(see tools/fetch_checkpoints.sh)"
+            )
+        clap_sd = load_torch_state_dict(args.clap_checkpoint)
+        clap_cfgs = infer_clap_configs(clap_sd)
+        clap_tok = load_clap_tokenizer(vocab_size=clap_cfgs[1].vocab_size)
 
     def make_train_loader(epoch):
         return DataLoader(
@@ -236,33 +251,29 @@ def main(argv=None):
             use_edm=args.use_edm,
             accum_steps=args.gradient_accumulation_steps,
             remat_student=not args.no_remat,
+            uncondition=args.uncondition,
         )
 
-        clap_bits = None
         loss_override = None
         if args.loss_type == "clap":
-            # stage-3: load the CLAP towers and tokenizer for the loss
             from consistencytta_tpu.evaluation.clap_model import (
                 convert_clap_audio,
                 convert_clap_text,
             )
-            from consistencytta_tpu.io.torch_import import load_torch_state_dict
             from consistencytta_tpu.training.clap_loss import build_clap_loss
-            from transformers import AutoTokenizer
 
-            clap_sd = load_torch_state_dict(args.clap_checkpoint)
-            clap_bits = {
-                "audio": convert_clap_audio(clap_sd),
-                "text": convert_clap_text(clap_sd),
-                "tokenizer": AutoTokenizer.from_pretrained("roberta-base"),
-            }
             # towers ride in frozen.clap_audio/clap_text (jit arguments) —
             # closing them into the step overflows AOT compile requests
-            loss_override = build_clap_loss(pipeline, None, None)
+            clip_seconds = min(10.0, config.segment_samples / config.sample_rate)
+            loss_override = build_clap_loss(
+                pipeline, None, None,
+                htsat_config=clap_cfgs[0], roberta_config=clap_cfgs[1],
+                clip_seconds=clip_seconds,
+            )
             frozen = dataclasses.replace(
                 frozen,
-                clap_audio=clap_bits["audio"],
-                clap_text=clap_bits["text"],
+                clap_audio=convert_clap_audio(clap_sd, clap_cfgs[0]),
+                clap_text=convert_clap_text(clap_sd, clap_cfgs[1]),
             )
 
         if args.use_lora and args.finetune_vae:
@@ -286,7 +297,13 @@ def main(argv=None):
             )
 
             # towers ride in frozen.clap_audio/clap_text
-            step_fn = build_ftvae_train_step(pipeline, sched, tx, step_cfg)
+            step_fn = build_ftvae_train_step(
+                pipeline, sched, tx, step_cfg,
+                htsat_config=clap_cfgs[0], roberta_config=clap_cfgs[1],
+                clip_seconds=min(
+                    10.0, config.segment_samples / config.sample_rate
+                ),
+            )
         else:
             step_fn = build_consistency_train_step(
                 pipeline, sched, tx, step_cfg, loss_fn_override=loss_override
@@ -294,12 +311,34 @@ def main(argv=None):
 
         # 4-loss validation runs for both solver recipes (the reference
         # validates regardless of --use_edm, tools/train_utils.py:84-139).
-        # In LoRA mode the state holds LoRA factors, not full UNet params,
-        # so the full-params validation step does not apply.
-        validate_fn = (
-            None if args.use_lora
-            else jax.jit(build_validation_step(pipeline, sched, step_cfg))
-        )
+        if args.use_lora:
+            # merge the LoRA factors into the frozen base student before the
+            # full-params validation (the reference validates LoRA runs too,
+            # tools/train_utils.py:84-139)
+            from consistencytta_tpu.training.lora import merge_lora
+
+            base_validate = build_validation_step(pipeline, sched, step_cfg)
+
+            def lora_validate(state, frozen, batch, rng):
+                merged = dataclasses.replace(
+                    state,
+                    student_target=merge_lora(
+                        frozen.student, state.student_target
+                    ),
+                )
+                return base_validate(merged, frozen, batch, rng)
+
+            validate_fn = jax.jit(lora_validate)
+        elif args.loss_type == "clap" and args.finetune_vae:
+            from consistencytta_tpu.training.ftvae import (
+                build_ftvae_validation_step,
+            )
+
+            validate_fn = jax.jit(
+                build_ftvae_validation_step(pipeline, sched, step_cfg)
+            )
+        else:
+            validate_fn = jax.jit(build_validation_step(pipeline, sched, step_cfg))
 
         if args.use_lora:
             lora0 = init_lora_params(

@@ -53,6 +53,7 @@ class HTSATConfig:
     fmin: float = 50.0
     fmax: float = 14000.0
     clip_samples: int = 480000
+    joint_embed: int = 512
 
     @property
     def freq_ratio(self) -> int:
@@ -74,6 +75,7 @@ class RobertaConfig:
     type_vocab_size: int = 1
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1
+    joint_embed: int = 512
 
 
 JOINT_EMBED = 512
@@ -345,9 +347,9 @@ class CLAPAudioTower(nn.Module):
         x = BatchNormInference(self.config.mel_bins, name="bn0")(logmel)
         img = reshape_mel_to_image(x, self.config)
         emb = HTSATEncoder(self.config, name="htsat")(img)
-        h = nn.Dense(JOINT_EMBED, name="proj_fc1")(emb)
+        h = nn.Dense(self.config.joint_embed, name="proj_fc1")(emb)
         h = jax.nn.relu(h)
-        h = nn.Dense(JOINT_EMBED, name="proj_fc2")(h)
+        h = nn.Dense(self.config.joint_embed, name="proj_fc2")(h)
         return h / jnp.linalg.norm(h, axis=-1, keepdims=True)
 
 
@@ -429,9 +431,9 @@ class CLAPTextTower(nn.Module):
         pooled = RobertaEncoder(self.config, name="roberta")(
             input_ids, attention_mask
         )
-        h = nn.Dense(JOINT_EMBED, name="proj_fc1")(pooled)
+        h = nn.Dense(self.config.joint_embed, name="proj_fc1")(pooled)
         h = jax.nn.relu(h)
-        h = nn.Dense(JOINT_EMBED, name="proj_fc2")(h)
+        h = nn.Dense(self.config.joint_embed, name="proj_fc2")(h)
         return h / jnp.linalg.norm(h, axis=-1, keepdims=True)
 
 
@@ -504,6 +506,81 @@ def convert_clap_audio(sd, config: HTSATConfig = HTSATConfig()) -> dict:
             }
     p["htsat"] = ht
     return p
+
+
+def infer_clap_configs(
+    sd,
+    base_audio: HTSATConfig = HTSATConfig(),
+    base_text: RobertaConfig = RobertaConfig(),
+) -> Tuple[HTSATConfig, RobertaConfig]:
+    """Derive the structural CLAP dimensions (Swin depths/widths/heads,
+    RoBERTa width/depth) from a checkpoint's tensor shapes, keeping the
+    signal-frontend fields (mel bins, spec size, sample rate) from the base
+    configs. Lets the stage-3 CLI consume any HTSAT+RoBERTa checkpoint in
+    the laion_clap key format (hook.py:20-72) — including the tiny
+    random-weight one the offline chain test generates — without a
+    hand-written config json."""
+    import dataclasses
+
+    def g(key):
+        for k in (key, "module." + key):
+            if k in sd:
+                return sd[k]
+        raise KeyError(key)
+
+    def has(key):
+        return key in sd or ("module." + key) in sd
+
+    ab = "audio_branch."
+    embed_dim = g(ab + "patch_embed.proj.weight").shape[0]
+    depths, heads = [], []
+    i = 0
+    while has(f"{ab}layers.{i}.blocks.0.norm1.weight"):
+        j = 0
+        while has(f"{ab}layers.{i}.blocks.{j}.norm1.weight"):
+            j += 1
+        depths.append(j)
+        table = g(f"{ab}layers.{i}.blocks.0.attn.relative_position_bias_table")
+        heads.append(int(table.shape[1]))
+        i += 1
+    table0 = g(f"{ab}layers.0.blocks.0.attn.relative_position_bias_table")
+    window = (int(round(np.sqrt(table0.shape[0]))) + 1) // 2
+    mlp_ratio = g(f"{ab}layers.0.blocks.0.mlp.fc1.weight").shape[0] / embed_dim
+
+    joint = int(g("audio_projection.2.weight").shape[0])
+    audio = dataclasses.replace(
+        base_audio,
+        embed_dim=int(embed_dim),
+        depths=tuple(depths),
+        num_heads=tuple(heads),
+        window_size=int(window),
+        mlp_ratio=float(mlp_ratio),
+        joint_embed=joint,
+    )
+
+    tb = "text_branch."
+    word = g(tb + "embeddings.word_embeddings.weight")
+    vocab, hidden = int(word.shape[0]), int(word.shape[1])
+    n_layers = 0
+    while has(f"{tb}encoder.layer.{n_layers}.attention.self.query.weight"):
+        n_layers += 1
+    inter = int(g(f"{tb}encoder.layer.0.intermediate.dense.weight").shape[0])
+    max_pos = int(g(tb + "embeddings.position_embeddings.weight").shape[0])
+    n_heads = base_text.num_heads
+    if hidden % n_heads != 0:
+        n_heads = max(d for d in range(1, n_heads + 1) if hidden % d == 0)
+
+    text = dataclasses.replace(
+        base_text,
+        vocab_size=vocab,
+        hidden_size=hidden,
+        num_layers=n_layers,
+        num_heads=n_heads,
+        intermediate_size=inter,
+        max_position_embeddings=max_pos,
+        joint_embed=int(g("text_projection.2.weight").shape[0]),
+    )
+    return audio, text
 
 
 def convert_clap_text(sd, config: RobertaConfig = RobertaConfig()) -> dict:

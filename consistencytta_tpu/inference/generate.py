@@ -43,6 +43,12 @@ class GenerateConfig:
     # decode the batch in sub-chunks (VAE decoder + vocoder activations are
     # the HBM peak; chunking unlocks batch 64 on one 16 GB chip). None: off.
     decode_chunk: Optional[int] = None
+    # stage-3 FTVAE: decode through the EMA decoder pair (params.vae_ema).
+    # None follows use_ema — the reference couples them
+    # (inference.py:204-206: use_ema_decoder = args.use_ema and vae has EMA);
+    # True/False overrides explicitly (decode(use_ema=...),
+    # autoencoder.py:91-103).
+    use_ema_decoder: Optional[bool] = None
 
 
 def build_generate_fn(
@@ -151,9 +157,12 @@ def build_generate_fn(
                     params, z_n, t_i, level_i, text, text_mask, guidance
                 )
 
-        # 4. decode to waveform
+        # 4. decode to waveform (FTVAE checkpoints: params.vae already holds
+        # the fine-tuned decoder; use_ema additionally selects the EMA pair)
+        ema_dec = gen.use_ema if gen.use_ema_decoder is None else gen.use_ema_decoder
         wav = pipeline.decode_latents(
-            params.vae, params.vocoder, zhat_0, chunk=gen.decode_chunk
+            params.vae, params.vocoder, zhat_0, chunk=gen.decode_chunk,
+            vae_ema=params.vae_ema, use_ema_decoder=ema_dec,
         )
         if gen.truncate_seconds is not None:
             wav = wav[:, : int(pipeline.config.sample_rate * gen.truncate_seconds)]

@@ -118,6 +118,24 @@ def _attn_block(sd: FlatSD, key: str) -> Params:
     }
 
 
+def _vae_decoder_params(sd: FlatSD, config: VAEConfig) -> Params:
+    """Decoder tree from keys rooted at `decoder.` (shared by the full VAE
+    converter and the stage-3 FTVAE decoder-pair converters)."""
+    num_levels = len(config.ch_mult)
+    dec: Params = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid_block_1"] = _resnet_block(sd, "decoder.mid.block_1")
+    dec["mid_attn_1"] = _attn_block(sd, "decoder.mid.attn_1")
+    dec["mid_block_2"] = _resnet_block(sd, "decoder.mid.block_2")
+    for i in range(num_levels):
+        for j in range(config.num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = _resnet_block(sd, f"decoder.up.{i}.block.{j}")
+        if i != 0:
+            dec[f"up_{i}_upsample"] = _conv(sd, f"decoder.up.{i}.upsample.conv")
+    dec["norm_out"] = _norm(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+    return dec
+
+
 def convert_vae(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Params:
     """AudioLDM AutoencoderKL torch state dict -> flax params.
 
@@ -139,22 +157,21 @@ def convert_vae(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Params:
     enc["norm_out"] = _norm(sd, "encoder.norm_out")
     enc["conv_out"] = _conv(sd, "encoder.conv_out")
 
-    dec: Params = {"conv_in": _conv(sd, "decoder.conv_in")}
-    dec["mid_block_1"] = _resnet_block(sd, "decoder.mid.block_1")
-    dec["mid_attn_1"] = _attn_block(sd, "decoder.mid.attn_1")
-    dec["mid_block_2"] = _resnet_block(sd, "decoder.mid.block_2")
-    for i in range(num_levels):
-        for j in range(config.num_res_blocks + 1):
-            dec[f"up_{i}_block_{j}"] = _resnet_block(sd, f"decoder.up.{i}.block.{j}")
-        if i != 0:
-            dec[f"up_{i}_upsample"] = _conv(sd, f"decoder.up.{i}.upsample.conv")
-    dec["norm_out"] = _norm(sd, "decoder.norm_out")
-    dec["conv_out"] = _conv(sd, "decoder.conv_out")
-
     return {
         "encoder": enc,
-        "decoder": dec,
+        "decoder": _vae_decoder_params(sd, config),
         "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+def convert_vae_decoder_pair(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Params:
+    """Keys rooted at decoder./post_quant_conv. -> the partial VAE tree
+    {decoder, post_quant_conv} consumed by training.ftvae.merge_vae_decoder
+    and PipelineParams.vae_ema (reference decode(use_ema=...) pair,
+    audioldm/variational_autoencoder/autoencoder.py:91-103)."""
+    return {
+        "decoder": _vae_decoder_params(sd, config),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
 
@@ -169,8 +186,42 @@ def convert_vae_ema_decoder(sd: FlatSD, config: VAEConfig = VAEConfig()) -> Para
             remapped["decoder." + k[len("ema_decoder.") :]] = v
         elif k.startswith("ema_post_quant_conv."):
             remapped["post_quant_conv." + k[len("ema_post_quant_conv.") :]] = v
-    base = convert_vae({**sd, **remapped}, config)
-    return {"decoder": base["decoder"], "post_quant_conv": base["post_quant_conv"]}
+    return convert_vae_decoder_pair(remapped, config)
+
+
+def extract_ftvae_decoders(
+    sd: FlatSD,
+) -> Tuple[Optional[Dict[str, np.ndarray]], Optional[Dict[str, np.ndarray]]]:
+    """Pull the fine-tuned VAE decoder pair and its EMA copy out of a
+    reference FTVAE model state dict — the exact keys its load_pretrained
+    reads back (models/audio_consistency_model_ftvae.py:69-91):
+
+      vae.decoder.* / vae.post_quant_conv.*   -> trained decoder pair
+      ema_vae_decoder.* / ema_vae_pqconv.*    -> EMA pair
+      (aliases vae.ema_decoder.* / vae.ema_post_quant_conv.* also accepted;
+       `loss.`-prefixed duplicates from the CLAP loss module are deduped
+       like the reference's 'loss' branch)
+
+    Returns (trained, ema) flat dicts re-rooted at decoder./post_quant_conv.
+    (feed to convert_vae_decoder_pair), or None for an absent half.
+    """
+    trained: Dict[str, np.ndarray] = {}
+    ema: Dict[str, np.ndarray] = {}
+    alias_map = (
+        ("vae.ema_decoder.", "decoder.", ema),
+        ("vae.ema_post_quant_conv.", "post_quant_conv.", ema),
+        ("vae.decoder.", "decoder.", trained),
+        ("vae.post_quant_conv.", "post_quant_conv.", trained),
+        ("ema_vae_decoder.", "decoder.", ema),
+        ("ema_vae_pqconv.", "post_quant_conv.", ema),
+    )
+    for k, v in sd.items():
+        key = k[5:] if k.startswith("loss.") else k
+        for prefix, root, dest in alias_map:
+            if key.startswith(prefix):
+                dest.setdefault(root + key[len(prefix) :], v)
+                break
+    return (trained or None), (ema or None)
 
 
 # NOTE: the 1x1 "convs" in the reference VAE attention and quant layers are

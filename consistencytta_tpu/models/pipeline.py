@@ -140,16 +140,26 @@ class Pipeline:
     def decode_latents(
         self, vae_params: Params, vocoder_params: Params, z_scaled,
         chunk: Optional[int] = None,
+        vae_ema: Optional[Params] = None,
+        use_ema_decoder: bool = False,
     ) -> jax.Array:
         """scaled latent [B, t, f, c] -> waveform [B, samples]; fuses
         vae.decode_first_stage + decode_to_waveform + global DC centering
         (autoencoder.py:103-111, hifigan/utilities.py:76-91).
+
+        `use_ema_decoder` + `vae_ema`: decode through the stage-3 FTVAE EMA
+        decoder pair instead of vae_params' decoder — the reference's
+        `decode(z, use_ema=True)` (autoencoder.py:91-103). Like the
+        reference, a missing EMA pair silently falls back to the non-EMA
+        decoder.
 
         `chunk`: decode in batch sub-chunks via lax.map so the VAE-decoder /
         HiFi-GAN upsample activations (the HBM peak of generation) scale with
         the chunk, not the batch — unlocks batch 64 on one 16 GB chip. The
         DC centering stays batch-global (reference vocoder_infer semantics),
         so chunked and unchunked results are identical."""
+        if use_ema_decoder and vae_ema is not None:
+            vae_params = {**vae_params, **vae_ema}
 
         def decode_one(z):
             mel = self.vae.apply(

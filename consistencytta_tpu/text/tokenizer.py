@@ -94,6 +94,71 @@ def load_tokenizer(
         return HashTokenizer(vocab_size=vocab_size)
 
 
+ROBERTA_BOS_ID = 0
+ROBERTA_PAD_ID = 1
+ROBERTA_EOS_ID = 2
+
+
+class HashClapTokenizer:
+    """Offline stand-in for the RoBERTa tokenizer of the CLAP text branch
+    (reference laion_clap/hook.py:64-72). Same interface as the HF
+    tokenizer's dict-returning call so training.data.DataLoader can use
+    either; hashes words into the RoBERTa vocab range with RoBERTa special
+    ids (bos 0 / pad 1 / eos 2). NOT lexically compatible with BPE — real
+    checkpoints require the HF tokenizer; this keeps stage-3 CLAP runs and
+    tests working in hermetic environments."""
+
+    def __init__(self, vocab_size: int = 50265):
+        self.vocab_size = vocab_size
+
+    def _word_id(self, word: str) -> int:
+        h = int.from_bytes(hashlib.sha1(word.encode()).digest()[:4], "little")
+        return 3 + (h % (self.vocab_size - 3))
+
+    def __call__(
+        self,
+        prompts: Sequence[str],
+        padding: str = "max_length",
+        truncation: bool = True,
+        max_length: int = 77,
+        return_tensors: str = "np",
+    ) -> dict:
+        ids = np.full((len(prompts), max_length), ROBERTA_PAD_ID, np.int32)
+        mask = np.zeros((len(prompts), max_length), np.int32)
+        for i, prompt in enumerate(prompts):
+            toks = [ROBERTA_BOS_ID]
+            toks += [self._word_id(w) for w in prompt.lower().split()][
+                : max_length - 2
+            ]
+            toks.append(ROBERTA_EOS_ID)
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def load_clap_tokenizer(vocab_size: int = 50265):
+    """RoBERTa tokenizer for the CLAP text tower, with the hermetic hash
+    fallback — never returns None (a silent None used to surface later as a
+    bare KeyError('clap_text_ids') inside the jitted stage-3 step)."""
+    tok = None
+    try:
+        from transformers import AutoTokenizer
+
+        try:
+            tok = AutoTokenizer.from_pretrained(
+                "roberta-base", local_files_only=True
+            )
+        except Exception:
+            tok = AutoTokenizer.from_pretrained("roberta-base")
+    except Exception:
+        tok = None
+    # a real tokenizer emitting ids beyond the text tower's embedding table
+    # (tiny test checkpoints) would NaN on the gather — hash-bound instead
+    if tok is not None and getattr(tok, "vocab_size", 0) <= vocab_size:
+        return tok
+    return HashClapTokenizer(vocab_size=vocab_size)
+
+
 def tokenize_with_uncond(
     tokenizer, prompts: Sequence[str], max_length: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -59,7 +59,13 @@ class FTVAETrainState:
     def create(
         cls, params: PipelineParams, tx: optax.GradientTransformation
     ) -> "FTVAETrainState":
-        dec = vae_decoder_subset(params.vae)
+        # COPY the decoder subset: the state is donated every step, and the
+        # frozen PipelineParams keeps referencing params.vae — aliased
+        # buffers would be deleted out from under the frozen tree ("Array
+        # has been deleted" at checkpoint save)
+        dec = jax.tree_util.tree_map(
+            jnp.array, vae_decoder_subset(params.vae)
+        )
         trainable = {"unet": params.student, "vae_dec": dec}
         return cls(
             step=jnp.zeros((), jnp.int32),
@@ -70,6 +76,40 @@ class FTVAETrainState:
             vae_dec_ema=jax.tree_util.tree_map(jnp.array, dec),
             opt_state=tx.init(trainable),
         )
+
+
+def build_ftvae_validation_step(
+    pipeline: Pipeline,
+    schedule,
+    cfg: ConsistencyStepConfig,
+) -> Callable:
+    """FTVAE validation: the standard 4-loss stage-2 validation (the
+    reference's eval_model path, tools/train_utils.py:84-139) plus
+    `loss_decoder_mel` — the trainable decoder's mel reconstruction MSE on
+    ground-truth latents. The extra term exercises the fine-tuned decoder so
+    a diverging decoder is visible to best-checkpoint tracking (the
+    reference's latent-only validation cannot see it)."""
+    from consistencytta_tpu.training.step import build_validation_step
+
+    base_validate = build_validation_step(pipeline, schedule, cfg)
+
+    def validate(state: FTVAETrainState, frozen: PipelineParams, batch, rng):
+        losses = base_validate(state, frozen, batch, rng)
+
+        wav = batch["wav"]
+        mel_gt = pipeline.frontend.wav_to_mel_image(
+            wav, pipeline.config.target_mel_frames
+        )
+        r_enc, _ = jax.random.split(rng)
+        z0 = pipeline.encode_audio(frozen.vae, wav, r_enc)
+        vae_params = merge_vae_decoder(frozen.vae, state.vae_dec)
+        mel_rec = pipeline.vae.apply(
+            {"params": vae_params}, z0, method=pipeline.vae.decode_first_stage
+        )
+        losses["loss_decoder_mel"] = mse_instance(mel_rec, mel_gt).mean()
+        return losses
+
+    return validate
 
 
 def build_ftvae_train_step(

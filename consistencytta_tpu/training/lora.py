@@ -81,6 +81,31 @@ def lora_param_count(lora_params: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(lora_params))
 
 
+def is_lora_tree(tree) -> bool:
+    """True when `tree` is a LoRA factor tree (every leaf dict is an {a, b}
+    pair) rather than full UNet params. Used by the checkpoint loader to
+    decide whether a restored role needs merge-at-load
+    (cli.common.load_frozen_and_roles)."""
+    if not isinstance(tree, dict) or not tree:
+        return False
+    found = []
+
+    def walk(node):
+        for v in node.values():
+            if isinstance(v, dict):
+                if set(v) == {"a", "b"} and not any(
+                    isinstance(x, dict) for x in v.values()
+                ):
+                    found.append(True)
+                else:
+                    walk(v)
+            else:
+                found.append(False)
+
+    walk(tree)
+    return bool(found) and all(found)
+
+
 def build_lora_consistency_train_step(
     pipeline,
     schedule,
@@ -126,7 +151,32 @@ def build_lora_consistency_train_step(
     grad_fn = jax.value_and_grad(micro_loss)
 
     def step(state: TrainState, frozen, batch, rng):
-        loss, grads = grad_fn(state.student, state, frozen, batch, rng)
+        # gradient accumulation: same in-step lax.scan micro-batching as the
+        # full-parameter step (training/step.py) — the recipes size the
+        # global batch as bs * devices * accum_steps, so skipping it would
+        # silently lose the micro-batching that keeps the batch inside HBM
+        a = cfg.accum_steps
+        if a == 1:
+            loss, grads = grad_fn(state.student, state, frozen, batch, rng)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((a, x.shape[0] // a) + x.shape[1:]), batch
+            )
+            rngs = jax.random.split(rng, a)
+
+            def body(carry, xs):
+                loss_acc, grad_acc = carry
+                mb, r = xs
+                l, g = grad_fn(state.student, state, frozen, mb, r)
+                return (
+                    loss_acc + l / a,
+                    jax.tree_util.tree_map(lambda ga, gi: ga + gi / a, grad_acc, g),
+                ), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.student)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zero), (micro, rngs)
+            )
         finite = jnp.isfinite(loss) & _tree_finite(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.student)
         new_lora = optax.apply_updates(state.student, updates)

@@ -41,7 +41,11 @@ from consistencytta_tpu.ops.schedulers import (
     min_snr_weights_stage2,
 )
 from consistencytta_tpu.training.ema import ema_update
-from consistencytta_tpu.training.losses import mel_loss_instance, mse_instance
+from consistencytta_tpu.training.losses import (
+    MultiResolutionSTFTLoss,
+    mel_loss_instance,
+    mse_instance,
+)
 
 Params = Dict[str, Any]
 
@@ -78,9 +82,13 @@ class ConsistencyStepConfig:
     max_rand_guidance_scale: float = 6.0
     target_ema_decay: float = 0.95
     ema_decay: float = 0.999
-    loss_type: str = "mse"  # mse | mel  (clap wired via loss_fn override)
+    loss_type: str = "mse"  # mse | mel | stft  (clap wired via loss_fn override)
     use_edm: bool = True
     accum_steps: int = 1
+    # --uncondition: drop 10% of text conditions per micro-batch (swap to the
+    # uncond tokenization). The reference parses the flag but raises
+    # NotImplementedError (audio_consistency_model.py:303-304); here it works.
+    uncondition: bool = False
     # rematerialize the trainable student UNet forward (recompute in the
     # backward pass): trades ~1 extra forward of FLOPs for the activation
     # memory that otherwise pushes production-scale training past one
@@ -131,6 +139,13 @@ def consistency_forward(
     wav, ids, mask = micro["wav"], micro["ids"], micro["mask"]
     uids, umask = micro["uncond_ids"], micro["uncond_mask"]
     b = wav.shape[0]
+    if cfg.uncondition:
+        # 10% per-sample text-condition drop (train.py:119-120); split the
+        # extra key only on this path so default RNG streams are unchanged
+        rng, r_drop = jax.random.split(rng)
+        drop = jax.random.bernoulli(r_drop, 0.1, (b, 1))
+        ids = jnp.where(drop, uids, ids)
+        mask = jnp.where(drop, umask, mask)
     r_enc, r_u, r_eps, r_w = jax.random.split(rng, 4)
 
     # ground-truth latents + text (both frozen paths)
@@ -227,6 +242,7 @@ def build_consistency_train_step(
     """
     use_edm = cfg.use_edm
     n = schedule.num_steps if use_edm else schedule.num_inference_steps
+    stft_loss = MultiResolutionSTFTLoss(sr=pipeline.config.sample_rate)
 
     def instance_loss(pred, target, frozen, micro):
         if loss_fn_override is not None:
@@ -238,6 +254,15 @@ def build_consistency_train_step(
                 {"params": frozen.vae}, z, method=pipeline.vae.decode_first_stage
             )
             return mel_loss_instance(pred, target, decode)
+        if cfg.loss_type == "stft":
+            # decode both latents to waveforms through the frozen decoder +
+            # vocoder (grad-preserving float path), like the reference's
+            # MultiResolutionSTFTLoss (tools/losses.py:187-256 — with its
+            # unset-self.sr bug fixed; see training/losses.py docstring)
+            decode_wav = lambda z: pipeline.decode_latents(
+                frozen.vae, frozen.vocoder, z
+            )
+            return stft_loss(pred, target, decode_wav)
         raise ValueError(f"unsupported loss type {cfg.loss_type}")
 
     def micro_loss(student_params, state, frozen, micro, rng):

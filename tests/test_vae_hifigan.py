@@ -172,3 +172,88 @@ class TestHiFiGANParity:
         got = np.asarray(vocoder_postprocess(wav))
         want = wav - (wav.max() + wav.min()) / 2
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@requires_reference
+class TestFTVAEDecoderImport:
+    """Stage-3 FTVAE checkpoint round-trip: the reference saves the
+    fine-tuned decoder pair under vae.decoder/vae.post_quant_conv and the
+    EMA pair under ema_vae_decoder/ema_vae_pqconv (+ vae.ema_* aliases and
+    loss.-prefixed duplicates, models/audio_consistency_model_ftvae.py:52-91);
+    extract_ftvae_decoders + convert_vae_decoder_pair must reproduce the
+    reference's decode(use_ema=...) for both halves."""
+
+    def test_extract_and_decode_parity(self):
+        import torch
+        from copy import deepcopy
+
+        from consistencytta_tpu.io.torch_import import (
+            convert_vae_decoder_pair,
+            extract_ftvae_decoders,
+        )
+
+        vae_mod, _ = import_reference_audioldm()
+        torch.manual_seed(7)
+        vae = vae_mod.AutoencoderKL(**reference_vae_config())
+        vae.eval()
+
+        # "fine-tuned" decoder pair = module init; EMA pair = perturbed copy
+        ema_dec = deepcopy(vae.decoder)
+        ema_pq = deepcopy(vae.post_quant_conv)
+        with torch.no_grad():
+            for p in ema_dec.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+            for p in ema_pq.parameters():
+                p.add_(0.01 * torch.randn_like(p))
+        vae.ema_decoder = ema_dec
+        vae.ema_post_quant_conv = ema_pq
+
+        # the FTVAE model state dict exactly as the reference writes it
+        sd = {}
+        for k, v in vae.state_dict().items():
+            if not k.startswith("vocoder."):
+                sd["vae." + k] = v.detach().numpy()
+        for k, v in ema_dec.state_dict().items():
+            sd["ema_vae_decoder." + k] = v.detach().numpy()
+        for k, v in ema_pq.state_dict().items():
+            sd["ema_vae_pqconv." + k] = v.detach().numpy()
+        # the CLAP loss module holds a vae reference -> loss.-prefixed
+        # duplicates (handled by the reference's 'loss' branch, :78-86)
+        for k in [k for k in sd if k.startswith("vae.")]:
+            sd["loss." + k] = sd[k]
+
+        trained_sd, ema_sd = extract_ftvae_decoders(sd)
+        assert trained_sd is not None and ema_sd is not None
+
+        config = VAEConfig(scale_factor=0.9227)
+        base = convert_vae(
+            {k[len("vae.") :]: v for k, v in sd.items() if k.startswith("vae.")},
+            config,
+        )
+        trained_pair = convert_vae_decoder_pair(trained_sd, config)
+        ema_pair = convert_vae_decoder_pair(ema_sd, config)
+        model = AutoencoderKL(config)
+
+        rng = np.random.default_rng(3)
+        z = (rng.standard_normal((1, 8, 16, 16)) * 2).astype(np.float32)
+        z_nhwc = np.transpose(z, (0, 2, 3, 1))
+        with torch.no_grad():
+            want_plain = vae.decode(torch.from_numpy(z), use_ema=False).numpy()
+            want_ema = vae.decode(torch.from_numpy(z), use_ema=True).numpy()
+
+        got_plain = model.apply(
+            {"params": {**base, **trained_pair}}, z_nhwc, method=model.decode
+        )
+        got_ema = model.apply(
+            {"params": {**base, **ema_pair}}, z_nhwc, method=model.decode
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got_plain), (0, 3, 1, 2)), want_plain,
+            atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(got_ema), (0, 3, 1, 2)), want_ema,
+            atol=2e-4, rtol=1e-3,
+        )
+        # and the two decoders genuinely differ
+        assert np.abs(want_plain - want_ema).max() > 1e-3
