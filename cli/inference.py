@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def parse_args(argv=None):
+def _build_parser():
     p = argparse.ArgumentParser(description="ConsistencyTTA-TPU inference")
     p.add_argument("--original_args", type=str, default=None,
                    help="summary.jsonl from training (config replay)")
@@ -52,7 +52,40 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--text_len", type=int, default=64)
     p.add_argument("--skip_eval", action="store_true")
-    return p.parse_args(argv)
+    return p
+
+
+def parse_args(argv=None):
+    p = _build_parser()
+    args = p.parse_args(argv)
+    # which flags the user explicitly typed (vs defaults): re-parse with
+    # suppressed defaults — explicit flags take precedence over the
+    # --original_args config replay
+    for action in p._actions:
+        action.default = argparse.SUPPRESS
+    args._explicit = set(vars(p.parse_args(argv)))
+    return args
+
+
+# inference-run-local keys never taken from a replayed config (the eval
+# protocol pins its own seed, reference inference.sh)
+_REPLAY_EXCLUDE = {
+    "original_args", "model", "output_dir", "skip_eval",
+    "test_file", "test_references", "seed",
+}
+
+
+def apply_config_replay(args, replay: dict):
+    """Copy the whole saved flag namespace onto `args` (the reference's
+    full-namespace replay, inference.py:114), skipping run-local paths and
+    anything the user passed explicitly on this command line."""
+    explicit = getattr(args, "_explicit", set())
+    for key, val in replay.items():
+        if key in _REPLAY_EXCLUDE or key in explicit:
+            continue
+        if hasattr(args, key):
+            setattr(args, key, val)
+    return args
 
 
 def main(argv=None):
@@ -73,11 +106,7 @@ def main(argv=None):
 
     args = parse_args(argv)
     if args.original_args:
-        replay = read_config_replay(args.original_args)
-        for key in ("unet_model_config", "pipeline_config", "use_edm",
-                    "text_encoder_name"):
-            if key in replay and getattr(args, key, None) in (None, False):
-                setattr(args, key, replay[key])
+        apply_config_replay(args, read_config_replay(args.original_args))
 
     config = build_pipeline_config(args)
     dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32

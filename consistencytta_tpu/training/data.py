@@ -118,8 +118,11 @@ class T2ADataset:
         text_column: str = "captions",
         audio_column: str = "location",
         num_examples: int = -1,
+        prefix: Optional[str] = None,
         **kwargs,
     ) -> "T2ADataset":
+        """`prefix` is prepended to every caption (the reference --prefix,
+        tools/t2a_dataset.py:22-23)."""
         rows: List[dict] = []
         with open(path) as f:
             first = f.read(1)
@@ -127,7 +130,11 @@ class T2ADataset:
             if first == "{":
                 try:
                     obj = json.load(f)
-                    rows = obj["data"] if isinstance(obj, dict) else obj
+                    if isinstance(obj, dict):
+                        # {"data": [...]} manifest, or a single jsonl row
+                        rows = obj["data"] if "data" in obj else [obj]
+                    else:
+                        rows = obj
                 except json.JSONDecodeError:
                     f.seek(0)
                     rows = [json.loads(line) for line in f if line.strip()]
@@ -136,7 +143,7 @@ class T2ADataset:
         if num_examples > 0:
             rows = rows[:num_examples]
         return cls(
-            captions=[r[text_column] for r in rows],
+            captions=[(prefix or "") + r[text_column] for r in rows],
             paths=[r[audio_column] for r in rows],
             **kwargs,
         )
