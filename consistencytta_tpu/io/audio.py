@@ -37,11 +37,16 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int = 16000) -> None:
-    """Write float waveform as 16-bit PCM (soundfile.write equivalent)."""
+    """Write float waveform as 16-bit PCM, bit-equivalent to the reference's
+    no-grad inference path: vocoder_infer quantizes `(wav * 32768).astype
+    ("int16")` (truncation, no clip — hifigan/utilities.py:76-91) and
+    sf.write stores those samples verbatim (inference.py:222-223). The
+    DC-centered tanh output is always inside (-1, 1), so the scale never
+    overflows; inputs are clipped defensively for other callers."""
     from scipy.io import wavfile
 
-    pcm = np.clip(np.asarray(wav, np.float64), -1.0, 1.0)
-    wavfile.write(path, sr, np.round(pcm * 32767.0).astype(np.int16))
+    pcm = np.clip(np.asarray(wav, np.float64), -1.0, 32767.0 / 32768.0)
+    wavfile.write(path, sr, (pcm * 32768.0).astype(np.int16))
 
 
 def pad_wav(wav: np.ndarray, segment_length: Optional[int]) -> np.ndarray:

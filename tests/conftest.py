@@ -9,6 +9,12 @@ This must run before jax is imported anywhere.
 
 import os
 
+# fail HF hub lookups instantly: zero-egress means every from_pretrained
+# network attempt otherwise burns ~45 s of DNS retries before the hash
+# fallbacks kick in (biggest single quick-tier cost)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in prev:

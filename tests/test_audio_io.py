@@ -89,3 +89,21 @@ class TestWavIO:
         assert len(pad_wav(np.zeros(10), 5)) == 5
         assert len(pad_wav(np.zeros(3), 5)) == 5
         assert pad_wav(np.ones(3), None).shape == (3,)
+
+
+def test_write_wav_matches_reference_int16_quantization(tmp_path):
+    """Written samples must equal the reference's no-grad inference path:
+    vocoder_infer quantizes (wav * 32768).astype("int16") (truncation,
+    hifigan/utilities.py:85-88) and sf.write stores them verbatim
+    (inference.py:222-223) — eval reads those files, so ours must be
+    bit-identical."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-0.99, 0.99, 1600).astype(np.float32)
+    path = str(tmp_path / "q.wav")
+    write_wav(path, wav, 16000)
+    sr, data = wavfile.read(path)
+    assert sr == 16000 and data.dtype == np.int16
+    want = (wav.astype(np.float64) * 32768.0).astype(np.int16)
+    np.testing.assert_array_equal(data, want)

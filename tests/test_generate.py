@@ -47,6 +47,7 @@ class TestGenerate:
         assert np.isfinite(np.asarray(wav1)).all()
         np.testing.assert_array_equal(np.asarray(wav1), np.asarray(wav2))
 
+    @pytest.mark.slow  # extra chunked-decode graph compiles
     def test_chunked_decode_matches_unchunked(self, pipeline, params):
         """decode_latents(chunk=k) must be bit-compatible with the direct
         path (the DC centering stays batch-global)."""
@@ -73,6 +74,7 @@ class TestGenerate:
         # relative: random-init vocoder amplitudes are tiny (~1e-7)
         assert np.abs(w4 - w1).max() > 0.01 * np.abs(w4).max()
 
+    @pytest.mark.slow  # extra sampling-graph compile; composed parity covers it
     def test_multi_step_and_post_cfg(self, pipeline, params, text_batch):
         ids, mask, uids, umask = text_batch
         gen = build_generate_fn(
@@ -83,6 +85,7 @@ class TestGenerate:
         assert wav.shape == (2, 8000)
         assert np.isfinite(np.asarray(wav)).all()
 
+    @pytest.mark.slow  # two multi-step sampling graph compiles
     def test_teacher_heun_and_ddim(self, pipeline, params, text_batch):
         ids, mask, uids, umask = text_batch
         for use_edm in (True, False):

@@ -82,6 +82,7 @@ def test_multiresolution_stft_loss_matches_patched_reference():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # grad-graph compile; the CLI chain test also covers this path
 def test_stft_loss_is_differentiable():
     """--loss_type stft backprops through the decode path; the loss itself
     must yield finite grads (the custom overlap-add VJP of frame_signal is

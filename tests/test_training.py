@@ -65,6 +65,7 @@ def frozen(params):
 
 
 class TestConsistencyStep:
+    @pytest.mark.slow  # full jitted-step compile (~80 s on one CPU core)
     def test_step_runs_and_updates(self, pipeline, params, frozen, rng):
         sched = make_heun_schedule(pipeline.config.scheduler, 18)
         tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, num_warmup_steps=0))

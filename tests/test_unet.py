@@ -75,6 +75,7 @@ def _port_and_compare(torch_model, config, guided, rng, atol=2e-4):
 
 @requires_reference
 class TestUNetParity:
+    @pytest.mark.slow  # torch-reference build + jit (~35 s)
     def test_guided_unet_small(self, rng):
         import torch
 
