@@ -12,6 +12,12 @@ import jax.numpy as jnp
 from consistencytta_tpu.configs import PipelineConfig, UNetConfig, VAEConfig
 from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
 
+# Zero-egress box: without these, every transformers from_pretrained pays
+# ~45 s of DNS retries before the HashTokenizer fallback kicks in. Users
+# with network can still export HF_HUB_OFFLINE=0 explicitly.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 # persistent XLA compile cache for all CLIs: full-pipeline graphs take
 # minutes to compile; subsequent runs reuse the cached executables
 _cache_dir = os.environ.get(

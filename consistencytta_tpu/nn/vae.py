@@ -59,6 +59,29 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class _Conv1x1Params(nn.Module):
+    """Declares the {kernel, bias} params an nn.Conv(c, (1,1)) would (same
+    names, shapes, inits) without binding the compute, so AttnBlock can fuse
+    its three projection convs into one matmul with an unchanged checkpoint
+    tree."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class AttnBlock(nn.Module):
     """Single-head vanilla spatial attention (modules.py:185-230).
 
@@ -81,13 +104,22 @@ class AttnBlock(nn.Module):
 
         b, h, w, c = x.shape
         hidden = GroupNorm(self.groups, 1e-6, name="norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="q")(hidden)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="k")(hidden)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="v")(hidden)
-
-        q = q.reshape(b, h * w, c)
-        k = k.reshape(b, h * w, c)
-        v = v.reshape(b, h * w, c)
+        # The three 1x1 projection convs run as ONE matmul against the
+        # concatenated kernels — each output channel is the same dot
+        # product (bit-identical), but `hidden` is read from HBM once
+        # instead of three times. Param tree is unchanged (q/k/v conv
+        # kernels + biases).
+        wz = []
+        for name in ("q", "k", "v"):
+            wz.append(
+                _Conv1x1Params(c, c, name=name)()
+            )
+        w_qkv = jnp.concatenate([w.reshape(c, c) for w, _ in wz], axis=1)
+        b_qkv = jnp.concatenate([bias for _, bias in wz])
+        qkv = hidden.astype(self.dtype).reshape(b, h * w, c) @ w_qkv.astype(
+            self.dtype
+        ) + b_qkv.astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         if (
             self.use_flash
             and self.dtype == jnp.bfloat16

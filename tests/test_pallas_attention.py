@@ -14,8 +14,65 @@ import pytest
 from consistencytta_tpu.nn.attention import Attention
 from consistencytta_tpu.ops.pallas_attention import (
     attention_reference,
+    flash_mha_packed,
     flash_self_attention,
 )
+
+
+@pytest.mark.parametrize("b,h,s,d_true", [(2, 5, 512, 51), (1, 3, 256, 64)])
+def test_flash_packed_matches_unpacked_fold(b, h, s, d_true):
+    """The packed [B,S,H*D] kernel must match folding to [B*H,S,D] and
+    running the per-head oracle — same online softmax, head on the grid."""
+    d = -(-d_true // 64) * 64
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h * d)).astype(np.float32)
+    for arr in (q, k):  # zero the per-head pad columns like the module does
+        arr.reshape(b, s, h, d)[..., d_true:] = 0.0
+    scale = d_true**-0.5
+
+    out = flash_mha_packed(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h, scale,
+        block_q=256, block_k=256, interpret=True,
+    )
+
+    fold = lambda t: jnp.asarray(
+        t.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    )
+    ref = attention_reference(fold(q), fold(k), fold(v), scale)
+    ref = np.asarray(ref).reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(
+        b, s, h * d
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_packed_grads_match_autodiff_reference():
+    rng = np.random.default_rng(4)
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    scale = 51**-0.5
+
+    def f(q, k, v):
+        out = flash_mha_packed(q, k, v, h, scale, interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def r(q, k, v):
+        fold = lambda t: (
+            t.reshape(b, s, h, d).transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        )
+        out = attention_reference(fold(q), fold(k), fold(v), scale)
+        out = out.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(r, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-4
+        )
 
 
 @pytest.mark.parametrize(

@@ -33,6 +33,35 @@ def test_flash_attention_compiled_matches_oracle():
         assert rel < 2e-2, (bh, s, rel)  # bf16 v-matmul rounding
 
 
+def test_flash_packed_compiled_matches_oracle():
+    """Mosaic-compiled packed [B,S,H*d] kernel (in-kernel head unroll) vs the
+    per-head fp32 oracle at the UNet level shapes (heads x seq)."""
+    from consistencytta_tpu.ops.pallas_attention import (
+        attention_reference,
+        flash_mha_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    for (b, h, s) in [(2, 5, 4096), (2, 10, 1024), (2, 20, 256)]:
+        d = 64
+        q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        scale = 51**-0.5
+        out = flash_mha_packed(q, k, v, h, scale)
+        fold = lambda t: (
+            t.astype(jnp.float32)
+            .reshape(b, s, h, d)
+            .transpose(0, 2, 1, 3)
+            .reshape(b * h, s, d)
+        )
+        ref = attention_reference(fold(q), fold(k), fold(v), scale)
+        ref = ref.reshape(b, h, s, d).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        rel = err / float(jnp.max(jnp.abs(ref)))
+        assert rel < 2e-2, (b, h, s, rel)
+
+
 def test_flash_attention_grads_finite_on_device():
     from consistencytta_tpu.ops.pallas_attention import flash_self_attention
 
