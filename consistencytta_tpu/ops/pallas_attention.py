@@ -189,7 +189,18 @@ def _flash_packed_kernel(
     requires lane-dim blocks of 128-multiples or full width, which rules
     out per-head 64-lane grid blocks). Per-head running stats live in
     [heads, block_q, 128] scratch; the math per head is identical to
-    _flash_kernel."""
+    _flash_kernel.
+
+    Negative result (kept for the record, PERF.md "Attention kernel"): a
+    sum/diff head-pair formulation ([q1|q2].[k1|k2]^T = S1+S2 and
+    [q1|-q2].[k1|k2]^T = S1-S2, recovering both heads' logits from two
+    full-depth K=128 products) fixes the half-rate K=64 QK matmul
+    (measured 2.05x flop-normalized penalty) but the full UNet got
+    SLOWER (86.0 -> 87.6 ms b16): at these shapes the kernel is
+    VPU-bound on the softmax element passes, so MXU-side savings don't
+    land. `scale` is python-static; callers that fold the softmax scale
+    into their projection weights pass 1.0 and the multiply pass is
+    elided."""
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -209,17 +220,9 @@ def _flash_packed_kernel(
     else:
         lane_bcast = lambda x: jnp.tile(x, (1, d // _LANES))
 
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        q = qf[:, sl]
-        k = kf[:, sl]
-        v = vf[:, sl]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale  # [bq, bk] fp32
-
+    def update(h, s):
+        """One head's online-softmax + PV step on already-scaled logits s."""
+        v = vf[:, h * d : (h + 1) * d]
         m_prev = m_ref[h]  # [bq, 128]
         l_prev = l_ref[h]
         m_curr = jnp.max(s, axis=1)[:, None]  # [bq, 1]
@@ -239,6 +242,14 @@ def _flash_packed_kernel(
         acc_ref[h] = acc_ref[h] * lane_bcast(l_corr * l_next_inv) + pv * lane_bcast(
             l_next_inv
         )
+
+    for h in range(heads):
+        q = qf[:, h * d : (h + 1) * d]
+        k = kf[:, h * d : (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        update(h, s * scale if scale != 1.0 else s)
 
     @pl.when(kb == nk - 1)
     def _finalize():
