@@ -160,13 +160,19 @@ class Attention(nn.Module):
                 w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, d_pad - self.head_dim)))
                 return w3.reshape(c_q, self.heads * d_pad)
 
-            # softmax scale folded into the q projection weights (fp32
-            # multiply before the bf16 cast): the kernel then skips its
-            # per-head [bq, bk] scale pass — the kernel is VPU-bound, so
-            # element passes are what cost (PERF.md).
+            # softmax scale AND the base-2 conversion factor log2(e) folded
+            # into the q projection weights (fp32 multiply before the bf16
+            # cast): the kernel (which runs its softmax in base 2) then
+            # skips its per-head [bq, bk] logit multiply pass — it is
+            # VPU-bound, so element passes are what cost (PERF.md). The
+            # natural softmax scale seen by the kernel API is ln 2.
+            import math
+
             w_qkv = jnp.concatenate(
                 [
-                    head_pad_cols(wq * (self.head_dim**-0.5)),
+                    head_pad_cols(
+                        wq * (self.head_dim**-0.5 * math.log2(math.e))
+                    ),
                     head_pad_cols(wk),
                     head_pad_cols(wv),
                 ],
@@ -174,7 +180,7 @@ class Attention(nn.Module):
             ).astype(self.dtype)
             qkv = x @ w_qkv  # [B, S, 3*H*d_pad]
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            out = flash_mha_packed(q, k, v, self.heads, scale=1.0)
+            out = flash_mha_packed(q, k, v, self.heads, scale=math.log(2.0))
             w_out_padded = jnp.pad(
                 w_out.reshape(self.heads, self.head_dim, self.out_dim),
                 ((0, 0), (0, d_pad - self.head_dim), (0, 0)),

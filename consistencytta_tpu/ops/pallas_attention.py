@@ -39,6 +39,13 @@ _NEG_INF = -1e30
 
 _LANES = 128
 
+# The kernels run the softmax in base 2: p = 2^(s*scale*log2(e) - m) equals
+# e^(s*scale - m') exactly (up to fp rounding), and the VPU's exp2 skips the
+# ln2 conversion multiply that exp performs per element. Callers that fold
+# scale * _LOG2E into their projection weights skip the in-kernel logit
+# multiply pass entirely (prescaled_log2=True).
+_LOG2E = 1.4426950408889634
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     """Online-softmax step. m/l scratch are [block_q, 128] lane-replicated;
@@ -65,7 +72,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale  # [bq, bk] fp32
+    s = s * (scale * _LOG2E)  # [bq, bk] fp32, base-2 logit domain
 
     if d < _LANES:
         lane_bcast = lambda x: x[:, :d]
@@ -76,8 +83,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     l_prev = l_ref[:]
     m_curr = jnp.max(s, axis=1)[:, None]  # [bq, 1]
     m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
-    p = jnp.exp(s - jnp.tile(m_next, (1, bk // _LANES)))  # [bq, bk]
-    alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+    p = jnp.exp2(s - jnp.tile(m_next, (1, bk // _LANES)))  # [bq, bk]
+    alpha = jnp.exp2(m_prev - m_next)  # [bq, 128]
     l_corr = alpha * l_prev
     l_next = jnp.sum(p, axis=1)[:, None] + l_corr  # [bq, 128]
     m_ref[:] = m_next
@@ -221,14 +228,20 @@ def _flash_packed_kernel(
         lane_bcast = lambda x: jnp.tile(x, (1, d // _LANES))
 
     def update(h, s):
-        """One head's online-softmax + PV step on already-scaled logits s."""
+        """One head's online-softmax + PV step; s is in base-2 logit domain.
+
+        Negative result: extending V with a 64-lane ones block so the
+        softmax row-sum rides the (already N-padded) PV matmul, replacing
+        the [bq, bk] VPU sum-reduce, measured neutral-to-slightly-slower —
+        the v_ext build + lane extraction costs what the reduce saved.
+        Reverted; plain reduce kept."""
         v = vf[:, h * d : (h + 1) * d]
         m_prev = m_ref[h]  # [bq, 128]
         l_prev = l_ref[h]
         m_curr = jnp.max(s, axis=1)[:, None]  # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)  # [bq, 128]
-        p = jnp.exp(s - jnp.tile(m_next, (1, bk // _LANES)))  # [bq, bk]
-        alpha = jnp.exp(m_prev - m_next)  # [bq, 128]
+        p = jnp.exp2(s - jnp.tile(m_next, (1, bk // _LANES)))  # [bq, bk]
+        alpha = jnp.exp2(m_prev - m_next)  # [bq, 128]
         l_corr = alpha * l_prev
         l_next = jnp.sum(p, axis=1)[:, None] + l_corr  # [bq, 128]
         m_ref[h] = m_next
@@ -267,8 +280,15 @@ def _flash_nhd_core(q, k, v, heads, scale, block_q, block_k, interpret):
     b, s, hd = q.shape
     d = hd // heads
     grid = (b, s // block_q, s // block_k)
+    # `scale` is the natural softmax scale; the kernel works in base-2
+    # logits. When the caller already folded scale * _LOG2E into its
+    # projection weights it passes scale = ln 2, the product snaps to 1.0
+    # and the kernel's per-head logit multiply pass is elided.
+    kernel_scale = scale * _LOG2E
+    if abs(kernel_scale - 1.0) < 1e-9:
+        kernel_scale = 1.0
     kernel = functools.partial(
-        _flash_packed_kernel, scale=scale, heads=heads, d=d
+        _flash_packed_kernel, scale=kernel_scale, heads=heads, d=d
     )
     return pl.pallas_call(
         kernel,
