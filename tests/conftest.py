@@ -90,6 +90,30 @@ def import_reference_diffusers():
     return diffusers
 
 
+def load_repo_tool(name: str):
+    """Import a module from THIS repo's `tools/` directory by explicit file
+    path. `tools/` has no __init__.py and the reference root (whose `tools/`
+    IS a regular package) gets prepended to sys.path by the parity imports
+    above, so a plain `import tools.x` resolves into /root/reference after
+    any parity test has run — the full-suite-only failure mode this helper
+    exists to prevent."""
+    import importlib.util
+    import sys
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", f"{name}.py",
+    )
+    mod_name = f"_repo_tools_{name}"
+    if mod_name in sys.modules:
+        return sys.modules[mod_name]
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def import_reference_audioldm():
     """Import the reference's *trimmed* audioldm copy (easy_inference/) for
     VAE / HiFi-GAN parity tests: unlike the full copy it has no

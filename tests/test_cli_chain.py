@@ -189,12 +189,12 @@ def test_ftvae_clap_stage3_roundtrip(workdir):
     from cli.common import load_frozen_and_roles
     from consistencytta_tpu.io.checkpoints import load_checkpoint
     from consistencytta_tpu.models.pipeline import Pipeline
+    from tests.conftest import load_repo_tool
     from tests.tiny import tiny_config
-    from tools.make_tiny_clap import write_tiny_clap_checkpoint
 
     root = workdir["root"]
     clap_ckpt = str(root / "tiny_clap.pt")
-    write_tiny_clap_checkpoint(clap_ckpt)
+    load_repo_tool("make_tiny_clap").write_tiny_clap_checkpoint(clap_ckpt)
 
     out = root / "ftvae"
     cli_train.main(

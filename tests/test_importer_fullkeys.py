@@ -140,7 +140,9 @@ class TestCLAPFullKeys:
             convert_clap_text,
             infer_clap_configs,
         )
-        from tools.make_tiny_clap import make_clap_state_dict
+        from tests.conftest import load_repo_tool
+
+        make_clap_state_dict = load_repo_tool("make_tiny_clap").make_clap_state_dict
 
         sd = make_clap_state_dict(
             embed=128, depths=(2, 2, 12, 2), heads=(4, 8, 16, 32),

@@ -77,7 +77,10 @@ def test_flash_packed_grads_match_autodiff_reference():
 
 @pytest.mark.parametrize(
     "bh,s,d_true",
-    [(4, 512, 51), (2, 1024, 51), (3, 256, 64)],
+    # 256 exercises the d >= 128 lane-tiling branch of the kernel's
+    # stat broadcast (jnp.tile instead of a [:, :d] slice) — the VAE
+    # mid-block runs single-head d=512 through the same code path
+    [(4, 512, 51), (2, 1024, 51), (3, 256, 64), (2, 256, 256)],
 )
 def test_flash_matches_reference_interpret(bh, s, d_true):
     d = -(-d_true // 64) * 64

@@ -18,11 +18,15 @@ def test_flash_attention_compiled_matches_oracle():
     )
 
     rng = np.random.default_rng(0)
-    for (bh, s) in [(10, 4096), (20, 1024), (40, 256)]:
-        q = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
-        k = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((bh, s, 64)), jnp.bfloat16)
-        scale = 51**-0.5
+    # (BH, S, D): the three UNet level shapes at d=64 plus the VAE
+    # mid-block single-head shape (d=512 exercises the tiled lane_bcast
+    # branch of the kernel, d >= 128)
+    for (bh, s, d) in [(10, 4096, 64), (20, 1024, 64), (40, 256, 64),
+                       (2, 4096, 512)]:
+        q = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((bh, s, d)), jnp.bfloat16)
+        scale = (d - 13) ** -0.5
         out = flash_self_attention(q, k, v, scale)
         ref = attention_reference(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
