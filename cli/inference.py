@@ -34,6 +34,10 @@ def _build_parser():
     p.add_argument("--test_references", type=str, default=None)
     p.add_argument("--text_column", type=str, default="captions")
     p.add_argument("--audio_column", type=str, default="location")
+    p.add_argument("--prefix", type=str, default=None,
+                   help="prepended to every test prompt; a training --prefix "
+                        "replays here automatically (reference "
+                        "inference.py:172-180)")
     p.add_argument("--text_encoder_name", type=str, default="google/flan-t5-large")
     p.add_argument("--stage", type=int, default=2)
     p.add_argument("--guidance_scale_input", type=float, default=4.0)
@@ -68,10 +72,14 @@ def parse_args(argv=None):
 
 
 # inference-run-local keys never taken from a replayed config (the eval
-# protocol pins its own seed, reference inference.sh)
+# protocol pins its own seed, reference inference.sh). random_init and the
+# manifest schema columns are run-local too: a --random_init smoke-train
+# summary must not silently random-initialize a real inference run, and the
+# TRAIN manifest's column names don't describe the TEST manifest.
 _REPLAY_EXCLUDE = {
     "original_args", "model", "output_dir", "skip_eval",
     "test_file", "test_references", "seed",
+    "random_init", "text_column", "audio_column",
 }
 
 
@@ -136,7 +144,7 @@ def main(argv=None):
 
     dataset = T2ADataset.from_json(
         args.test_file, args.text_column, args.audio_column,
-        segment_length=config.segment_samples,
+        prefix=args.prefix, segment_length=config.segment_samples,
     )
     tokenizer = load_tokenizer(args.text_encoder_name, vocab_size=config.t5.vocab_size)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -255,6 +255,9 @@ def main(argv=None):
         )
 
         loss_override = None
+        # one clip policy for every CLAP-tower consumer (plain stage-3 loss
+        # and the FTVAE step must clip audio identically)
+        clip_seconds = min(10.0, config.segment_samples / config.sample_rate)
         if args.loss_type == "clap":
             from consistencytta_tpu.evaluation.clap_model import (
                 convert_clap_audio,
@@ -264,7 +267,6 @@ def main(argv=None):
 
             # towers ride in frozen.clap_audio/clap_text (jit arguments) —
             # closing them into the step overflows AOT compile requests
-            clip_seconds = min(10.0, config.segment_samples / config.sample_rate)
             loss_override = build_clap_loss(
                 pipeline, None, None,
                 htsat_config=clap_cfgs[0], roberta_config=clap_cfgs[1],
@@ -300,9 +302,7 @@ def main(argv=None):
             step_fn = build_ftvae_train_step(
                 pipeline, sched, tx, step_cfg,
                 htsat_config=clap_cfgs[0], roberta_config=clap_cfgs[1],
-                clip_seconds=min(
-                    10.0, config.segment_samples / config.sample_rate
-                ),
+                clip_seconds=clip_seconds,
             )
         else:
             step_fn = build_consistency_train_step(

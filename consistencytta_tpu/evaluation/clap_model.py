@@ -566,9 +566,17 @@ def infer_clap_configs(
         n_layers += 1
     inter = int(g(f"{tb}encoder.layer.0.intermediate.dense.weight").shape[0])
     max_pos = int(g(tb + "embeddings.position_embeddings.weight").shape[0])
-    n_heads = base_text.num_heads
-    if hidden % n_heads != 0:
-        n_heads = max(d for d in range(1, n_heads + 1) if hidden % d == 0)
+    # Head count is NOT derivable from tensor shapes. The BERT/RoBERTa
+    # family fixes head_dim at 64 (roberta-base 768/12, roberta-large
+    # 1024/16), so hidden // 64 recovers the real count for any production
+    # text branch; tiny test checkpoints (hidden < 64) keep the base
+    # config's count, shrunk only as needed to divide hidden.
+    if hidden % 64 == 0:
+        n_heads = hidden // 64
+    else:
+        n_heads = base_text.num_heads
+        if hidden % n_heads != 0:
+            n_heads = max(d for d in range(1, n_heads + 1) if hidden % d == 0)
 
     text = dataclasses.replace(
         base_text,

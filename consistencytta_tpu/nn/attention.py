@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from consistencytta_tpu.nn.layers import GroupNorm, LayerNorm
+from consistencytta_tpu.nn.layers import GroupNorm, LayerNorm, ParamSlot
 
 
 def _on_tpu() -> bool:
@@ -30,49 +30,6 @@ def _on_tpu() -> bool:
     except RuntimeError:  # no backend at all (docs builds etc.)
         return False
     return platform in ("tpu", "axon")
-
-
-class _ProjKernel(nn.Module):
-    """A bias-free Dense's parameter without the bound compute: declares the
-    same {kernel} param (name, shape, init, dtype) nn.Dense(use_bias=False)
-    would, so the checkpoint tree is unchanged, but lets the caller fuse
-    several projections of one source into a single matmul."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self) -> jax.Array:
-        return self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-            jnp.float32,
-        )
-
-
-class _DenseParams(nn.Module):
-    """nn.Dense's {kernel, bias} params (same names/shapes/inits) without
-    the bound compute — lets Attention apply `to_out` against a head-padded
-    input by inserting zero kernel ROWS at the pad positions (zero rows
-    contribute exactly zero, so the result is bit-identical to unpadding
-    first)."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kernel, bias
 
 
 class Attention(nn.Module):
@@ -119,9 +76,9 @@ class Attention(nn.Module):
 
         c_q = hidden_states.shape[-1]
         c_kv = kv_source.shape[-1]
-        wq = _ProjKernel(c_q, inner, name="to_q")()
-        wk = _ProjKernel(c_kv, inner, name="to_k")()
-        wv = _ProjKernel(c_kv, inner, name="to_v")()
+        wq = ParamSlot((c_q, inner), name="to_q")()
+        wk = ParamSlot((c_kv, inner), name="to_k")()
+        wv = ParamSlot((c_kv, inner), name="to_v")()
 
         x = hidden_states.astype(self.dtype)
         src = kv_source.astype(self.dtype)
@@ -133,7 +90,11 @@ class Attention(nn.Module):
             flash_supported,
         )
 
-        w_out, b_out = _DenseParams(inner, self.out_dim, name="to_out")()
+        # to_out declared param-only so the flash path can apply it against
+        # the head-padded activation by inserting zero kernel ROWS at the pad
+        # positions (zero rows contribute exactly zero — bit-identical to
+        # unpadding first)
+        w_out, b_out = ParamSlot((inner, self.out_dim), bias=True, name="to_out")()
 
         d_pad = -(-self.head_dim // 64) * 64
         if (
@@ -154,7 +115,7 @@ class Attention(nn.Module):
             # directly (head rides the grid), and `to_out` eats the padding
             # via zero kernel ROWS — no activation-sized pad, fold, or
             # unfold relayouts anywhere. Bit-identical to the unpacked
-            # formulation (see _DenseParams / flash_mha_packed docstrings).
+            # formulation (see flash_mha_packed's docstring).
             def head_pad_cols(w):
                 w3 = w.reshape(c_q, self.heads, self.head_dim)
                 w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, d_pad - self.head_dim)))
@@ -165,14 +126,15 @@ class Attention(nn.Module):
             # cast): the kernel (which runs its softmax in base 2) then
             # skips its per-head [bq, bk] logit multiply pass — it is
             # VPU-bound, so element passes are what cost (PERF.md). The
-            # natural softmax scale seen by the kernel API is ln 2.
+            # natural softmax scale seen by the kernel API is ln 2, whose
+            # product with the kernel's _LOG2E snaps to exactly 1.0.
             import math
+
+            from consistencytta_tpu.ops.pallas_attention import _LOG2E
 
             w_qkv = jnp.concatenate(
                 [
-                    head_pad_cols(
-                        wq * (self.head_dim**-0.5 * math.log2(math.e))
-                    ),
+                    head_pad_cols(wq * (self.head_dim**-0.5 * _LOG2E)),
                     head_pad_cols(wk),
                     head_pad_cols(wv),
                 ],

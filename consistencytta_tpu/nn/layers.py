@@ -25,6 +25,33 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+class ParamSlot(nn.Module):
+    """Declares the {kernel[, bias]} params an nn.Dense / 1x1 nn.Conv would
+    (same names, shapes, inits: lecun_normal kernel, zeros bias, fp32)
+    WITHOUT binding the compute, so callers can fuse several projections of
+    one source into a single matmul while the checkpoint tree stays
+    unchanged. kernel_shape is the Dense (in, out) or Conv (1, 1, in, out)
+    kernel shape; flax's lecun_normal computes fan-in over the leading dims
+    either way, so inits match the stock modules exactly."""
+
+    kernel_shape: tuple
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape,
+            jnp.float32,
+        )
+        if not self.bias:
+            return kernel
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],),
+            jnp.float32,
+        )
+        return kernel, b
+
+
 class GroupNorm(nn.Module):
     """GroupNorm with torch semantics (consecutive channel groups) and
     float32 statistics.

@@ -24,6 +24,7 @@ from flax import linen as nn
 from consistencytta_tpu.configs import VAEConfig
 from consistencytta_tpu.nn.layers import (
     GroupNorm,
+    ParamSlot,
     asymmetric_pad_downsample,
     nearest_upsample_2d,
     swish,
@@ -59,29 +60,6 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
-class _Conv1x1Params(nn.Module):
-    """Declares the {kernel, bias} params an nn.Conv(c, (1,1)) would (same
-    names, shapes, inits) without binding the compute, so AttnBlock can fuse
-    its three projection convs into one matmul with an unchanged checkpoint
-    tree."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, self.in_features, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kernel, bias
-
-
 class AttnBlock(nn.Module):
     """Single-head vanilla spatial attention (modules.py:185-230).
 
@@ -109,11 +87,10 @@ class AttnBlock(nn.Module):
         # product (bit-identical), but `hidden` is read from HBM once
         # instead of three times. Param tree is unchanged (q/k/v conv
         # kernels + biases).
-        wz = []
-        for name in ("q", "k", "v"):
-            wz.append(
-                _Conv1x1Params(c, c, name=name)()
-            )
+        wz = [
+            ParamSlot((1, 1, c, c), bias=True, name=name)()
+            for name in ("q", "k", "v")
+        ]
         w_qkv = jnp.concatenate([w.reshape(c, c) for w, _ in wz], axis=1)
         b_qkv = jnp.concatenate([bias for _, bias in wz])
         qkv = hidden.astype(self.dtype).reshape(b, h * w, c) @ w_qkv.astype(

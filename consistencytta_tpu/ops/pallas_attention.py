@@ -42,8 +42,10 @@ _LANES = 128
 # The kernels run the softmax in base 2: p = 2^(s*scale*log2(e) - m) equals
 # e^(s*scale - m') exactly (up to fp rounding), and the VPU's exp2 skips the
 # ln2 conversion multiply that exp performs per element. Callers that fold
-# scale * _LOG2E into their projection weights skip the in-kernel logit
-# multiply pass entirely (prescaled_log2=True).
+# scale * _LOG2E into their projection weights (nn.attention imports this
+# constant for that) pass scale = ln 2 to the packed kernel; the product
+# with _LOG2E snaps to 1.0 in _flash_nhd_core and the in-kernel logit
+# multiply pass is elided.
 _LOG2E = 1.4426950408889634
 
 

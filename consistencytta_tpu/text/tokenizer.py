@@ -140,6 +140,8 @@ def load_clap_tokenizer(vocab_size: int = 50265):
     """RoBERTa tokenizer for the CLAP text tower, with the hermetic hash
     fallback — never returns None (a silent None used to surface later as a
     bare KeyError('clap_text_ids') inside the jitted stage-3 step)."""
+    import os
+
     tok = None
     try:
         from transformers import AutoTokenizer
@@ -149,7 +151,15 @@ def load_clap_tokenizer(vocab_size: int = 50265):
                 "roberta-base", local_files_only=True
             )
         except Exception:
-            tok = AutoTokenizer.from_pretrained("roberta-base")
+            # only attempt the hub when the environment allows egress —
+            # on the zero-egress box a network try burns ~45 s of DNS
+            # retries per call before the hash fallback kicks in
+            if os.environ.get("HF_HUB_OFFLINE", "0") == "1" or os.environ.get(
+                "TRANSFORMERS_OFFLINE", "0"
+            ) == "1":
+                tok = None
+            else:
+                tok = AutoTokenizer.from_pretrained("roberta-base")
     except Exception:
         tok = None
     # a real tokenizer emitting ids beyond the text tower's embedding table

@@ -96,12 +96,20 @@ def build_ftvae_validation_step(
     def validate(state: FTVAETrainState, frozen: PipelineParams, batch, rng):
         losses = base_validate(state, frozen, batch, rng)
 
+        # one mel frontend pass serves both the reconstruction target and
+        # the encoder input, and the POSTERIOR MODE replaces a sampled
+        # latent — the health metric is deterministic (no posterior-noise
+        # variance across validation runs) and needs no extra rng stream.
         wav = batch["wav"]
         mel_gt = pipeline.frontend.wav_to_mel_image(
             wav, pipeline.config.target_mel_frames
         )
-        r_enc, _ = jax.random.split(rng)
-        z0 = pipeline.encode_audio(frozen.vae, wav, r_enc)
+        from consistencytta_tpu.nn.vae import DiagonalGaussian
+
+        moments = pipeline.vae.apply(
+            {"params": frozen.vae}, mel_gt, method=pipeline.vae.encode_moments
+        )
+        z0 = pipeline.config.vae.scale_factor * DiagonalGaussian(moments).mode()
         vae_params = merge_vae_decoder(frozen.vae, state.vae_dec)
         mel_rec = pipeline.vae.apply(
             {"params": vae_params}, z0, method=pipeline.vae.decode_first_stage

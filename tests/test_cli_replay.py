@@ -48,11 +48,32 @@ class TestConfigReplay:
         apply_config_replay(args, {
             "model": "elsewhere", "output_dir": "train_dir",
             "test_file": "train.json", "seed": 123,
+            # run-local semantics: a --random_init smoke-train summary must
+            # not silently random-initialize a real inference run, and the
+            # TRAIN manifest's column names don't describe the TEST manifest
+            "random_init": True, "text_column": "train_caps",
+            "audio_column": "train_loc",
         })
         assert args.model == "m"
         assert args.output_dir == "out_here"
         assert args.test_file != "train.json"
         assert args.seed == 0  # eval protocol pins its own seed
+        assert args.random_init is False
+        assert args.text_column == "captions"
+        assert args.audio_column == "location"
+
+    def test_training_prefix_replays_to_inference(self):
+        """A training --prefix must reach the test prompts (the reference
+        prepends train_args.prefix at inference, inference.py:172-180)."""
+        from cli.inference import apply_config_replay
+
+        args = self._args(["--model", "m"])
+        apply_config_replay(args, {"prefix": "sound of "})
+        assert args.prefix == "sound of "
+        # explicit inference-side --prefix still wins
+        args2 = self._args(["--model", "m", "--prefix", "audio: "])
+        apply_config_replay(args2, {"prefix": "sound of "})
+        assert args2.prefix == "audio: "
 
 
 class TestPrefix:
