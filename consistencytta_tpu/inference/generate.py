@@ -51,6 +51,23 @@ class GenerateConfig:
     use_ema_decoder: Optional[bool] = None
 
 
+def _with_truncation(
+    fn: Callable, pipeline: Pipeline, truncate_seconds: Optional[float]
+) -> Callable:
+    """Apply the 10-s output truncation OUTSIDE the compiled graph (the
+    reference slices host-side too, inference.py:208). Keeping the slice out
+    of the jitted function means one compiled executable serves every
+    truncation setting — truncate_seconds never forces a recompile."""
+    if truncate_seconds is None:
+        return fn
+    n = int(pipeline.config.sample_rate * truncate_seconds)
+
+    def truncated(*args, **kwargs):
+        return fn(*args, **kwargs)[:, :n]
+
+    return truncated
+
+
 def build_generate_fn(
     pipeline: Pipeline, gen: GenerateConfig = GenerateConfig(), jit: bool = True
 ) -> Callable:
@@ -164,11 +181,12 @@ def build_generate_fn(
             params.vae, params.vocoder, zhat_0, chunk=gen.decode_chunk,
             vae_ema=params.vae_ema, use_ema_decoder=ema_dec,
         )
-        if gen.truncate_seconds is not None:
-            wav = wav[:, : int(pipeline.config.sample_rate * gen.truncate_seconds)]
         return wav
 
-    return jax.jit(generate) if jit else generate
+    return _with_truncation(
+        jax.jit(generate) if jit else generate,
+        pipeline, gen.truncate_seconds,
+    )
 
 
 def build_guided_student_generate_fn(
@@ -237,11 +255,11 @@ def build_guided_student_generate_fn(
             z0, _ = jax.lax.scan(body, noise, sched.timesteps)
 
         wav = pipeline.decode_latents(params.vae, params.vocoder, z0)
-        if truncate_seconds is not None:
-            wav = wav[:, : int(pipeline.config.sample_rate * truncate_seconds)]
         return wav
 
-    return jax.jit(generate) if jit else generate
+    return _with_truncation(
+        jax.jit(generate) if jit else generate, pipeline, truncate_seconds
+    )
 
 
 def build_teacher_generate_fn(
@@ -295,8 +313,8 @@ def build_teacher_generate_fn(
             z0, _ = jax.lax.scan(body, noise, sched.timesteps)
 
         wav = pipeline.decode_latents(params.vae, params.vocoder, z0)
-        if truncate_seconds is not None:
-            wav = wav[:, : int(pipeline.config.sample_rate * truncate_seconds)]
         return wav
 
-    return jax.jit(generate) if jit else generate
+    return _with_truncation(
+        jax.jit(generate) if jit else generate, pipeline, truncate_seconds
+    )

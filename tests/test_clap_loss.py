@@ -26,7 +26,7 @@ from consistencytta_tpu.training.step import (
     build_consistency_train_step,
 )
 from tests.test_training import make_batch
-from tests.tiny import tiny_config
+from tests.tiny import cached_init_params, tiny_config
 
 TINY_HTSAT = HTSATConfig(
     spec_size=128, patch_size=4, patch_stride=4, embed_dim=16,
@@ -41,7 +41,7 @@ TINY_ROBERTA = RobertaConfig(
 @pytest.fixture(scope="module")
 def setup():
     pipeline = Pipeline.create(tiny_config())
-    params = pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+    params = cached_init_params(pipeline, text_len=8)
     frozen = PipelineParams(
         teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
         t5=params.t5,

@@ -300,10 +300,10 @@ def test_resume_preserves_zero1_sharding(workdir, tmp_path):
     )
     from consistencytta_tpu.training.optim import OptimizerConfig, make_optimizer
     from consistencytta_tpu.training.step import TrainState
-    from tests.tiny import tiny_config
+    from tests.tiny import cached_init_params, tiny_config
 
     pipeline = Pipeline.create(tiny_config())
-    params = pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+    params = cached_init_params(pipeline, text_len=8)
     tx = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
 

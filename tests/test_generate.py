@@ -13,7 +13,7 @@ from consistencytta_tpu.inference.generate import (
 )
 from consistencytta_tpu.models.pipeline import Pipeline
 from consistencytta_tpu.text.tokenizer import HashTokenizer, tokenize_with_uncond
-from tests.tiny import tiny_config
+from tests.tiny import cached_init_params, tiny_config
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +23,7 @@ def pipeline():
 
 @pytest.fixture(scope="module")
 def params(pipeline):
-    return pipeline.init_params(jax.random.PRNGKey(0), text_len=16)
+    return cached_init_params(pipeline, text_len=16)
 
 
 @pytest.fixture(scope="module")

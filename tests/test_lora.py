@@ -20,7 +20,7 @@ from consistencytta_tpu.training.lora import (
 from consistencytta_tpu.training.optim import OptimizerConfig, make_optimizer
 from consistencytta_tpu.training.step import ConsistencyStepConfig, TrainState
 from tests.test_training import make_batch
-from tests.tiny import tiny_config
+from tests.tiny import cached_init_params, tiny_config
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +30,7 @@ def pipeline():
 
 @pytest.fixture(scope="module")
 def params(pipeline):
-    return pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+    return cached_init_params(pipeline, text_len=8)
 
 
 class TestLoRA:

@@ -29,7 +29,7 @@ from consistencytta_tpu.training.step import (
     build_validation_step,
 )
 from consistencytta_tpu.text.tokenizer import HashTokenizer, tokenize_with_uncond
-from tests.tiny import tiny_config
+from tests.tiny import cached_init_params, tiny_config
 
 
 @pytest.fixture(scope="module")
@@ -39,7 +39,7 @@ def pipeline():
 
 @pytest.fixture(scope="module")
 def params(pipeline):
-    return pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+    return cached_init_params(pipeline, text_len=8)
 
 
 def make_batch(rng, b=4, text_len=8, samples=64 * 160):

@@ -23,7 +23,7 @@ from consistencytta_tpu.training.step import (
     build_consistency_train_step,
 )
 from tests.test_training import make_batch
-from tests.tiny import tiny_config
+from tests.tiny import cached_init_params, tiny_config
 
 
 class TestZero1:
@@ -46,7 +46,7 @@ class TestZero1:
     @pytest.mark.slow
     def test_zero1_step_matches_replicated(self, rng):
         pipeline = Pipeline.create(tiny_config())
-        params = pipeline.init_params(jax.random.PRNGKey(0), text_len=8)
+        params = cached_init_params(pipeline, text_len=8)
         frozen = PipelineParams(
             teacher=params.teacher, vae=params.vae, vocoder=params.vocoder,
             t5=params.t5,
