@@ -664,12 +664,35 @@ class CLAPWrapper:
             return None  # RoBERTa tokenizer assets unavailable (zero egress)
 
         sd = load_torch_state_dict(path)
-        audio_params = convert_clap_audio(sd)
-        text_params = convert_clap_text(sd)
+        # structural dims from the checkpoint's own tensor shapes, so any
+        # laion_clap-format checkpoint (incl. tiny test ones) loads; then
+        # verify the converted trees against the towers before jitting —
+        # a wrong-shape tensor must name its parameter, not die in XLA
+        acfg, tcfg = infer_clap_configs(sd)
+        audio_params = convert_clap_audio(sd, acfg)
+        text_params = convert_clap_text(sd, tcfg)
 
-        audio_tower = CLAPAudioTower()
-        text_tower = CLAPTextTower()
-        frontend = CLAPMelFrontend()
+        audio_tower = CLAPAudioTower(acfg)
+        text_tower = CLAPTextTower(tcfg)
+        frontend = CLAPMelFrontend(acfg)
+
+        from consistencytta_tpu.io.torch_import import assert_params_match
+
+        expected_audio = jax.eval_shape(
+            lambda: audio_tower.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 1001, acfg.mel_bins), jnp.float32),
+            )
+        )["params"]
+        assert_params_match(audio_params, expected_audio, f"{path} (audio tower)")
+        expected_text = jax.eval_shape(
+            lambda: text_tower.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 8), jnp.int32),
+                jnp.ones((1, 8), jnp.int32),
+            )
+        )["params"]
+        assert_params_match(text_params, expected_text, f"{path} (text tower)")
 
         audio_fn = jax.jit(
             lambda w: audio_tower.apply({"params": audio_params}, frontend(w))

@@ -168,6 +168,14 @@ def vggish_embeddings(
     sd = load_torch_state_dict(checkpoint)
     params = convert_vggish(sd)
     model = VGGish()
+    from consistencytta_tpu.io.torch_import import assert_params_match
+
+    expected = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 96, 64), np.float32)
+        )
+    )["params"]
+    assert_params_match(params, expected, checkpoint)
     fn = jax.jit(lambda x: model.apply({"params": params}, x))
 
     examples = [waveform_to_examples(load_wav_16k(p, 1000)) for p in paths]

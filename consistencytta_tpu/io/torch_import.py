@@ -511,3 +511,52 @@ def convert_hifigan(sd: FlatSD, config: HiFiGANConfig = HiFiGANConfig()) -> Para
             p[f"resblock_{i}_{j}"] = block
     p["conv_post"] = _conv(sd, "conv_post", "1d")
     return p
+
+
+# -- import-time validation --------------------------------------------------
+
+
+def _tree_shapes(tree: Any, prefix: str = "") -> Dict[str, Tuple[int, ...]]:
+    """Flatten a params pytree to {'/'-joined path: shape}."""
+    out: Dict[str, Tuple[int, ...]] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(_tree_shapes(v, f"{prefix}{k}/"))
+    elif hasattr(tree, "shape"):
+        out[prefix.rstrip("/")] = tuple(tree.shape)
+    else:  # scalar leaf
+        out[prefix.rstrip("/")] = ()
+    return out
+
+
+def assert_params_match(
+    converted: Params, expected: Params, context: str = "checkpoint"
+) -> None:
+    """Fail loudly, naming every offending key, when a converted checkpoint
+    tree does not structurally match the model's expected params.
+
+    This is the day-1 real-asset guard the importers run behind: a renamed
+    source key surfaces as a KeyError inside the converter (the missing key
+    is in the message), and a wrong-SHAPE tensor — which numpy transposes
+    and flax would otherwise drag into a cryptic XLA dot-dimension error —
+    is caught here with the parameter path and both shapes.
+    """
+    got = _tree_shapes(converted)
+    want = _tree_shapes(expected)
+    missing = sorted(set(want) - set(got))
+    unexpected = sorted(set(got) - set(want))
+    mismatched = sorted(
+        f"{k}: checkpoint {got[k]} vs model {want[k]}"
+        for k in set(got) & set(want)
+        if got[k] != want[k]
+    )
+    if missing or unexpected or mismatched:
+        lines = [f"{context}: converted params do not match the model"]
+        if missing:
+            lines.append(f"  missing ({len(missing)}): {missing[:8]}")
+        if unexpected:
+            lines.append(f"  unexpected ({len(unexpected)}): {unexpected[:8]}")
+        if mismatched:
+            lines.append(f"  shape mismatches ({len(mismatched)}):")
+            lines.extend(f"    {m}" for m in mismatched[:8])
+        raise ValueError("\n".join(lines))

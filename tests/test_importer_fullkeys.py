@@ -53,6 +53,64 @@ def _t(rs, *shape):
     return rs.standard_normal(shape).astype(np.float32)
 
 
+def make_cnn14_state_dict(rs=None):
+    """Synthetic Cnn14_16k state dict with the REAL checkpoint key set
+    (reference audioldm_eval/feature_extractors/panns/models.py:168-253).
+    Shared with the corruption tests (test_importer_corruption.py)."""
+    rs = rs or np.random.RandomState(0)
+    sd = {}
+    # non-parameter extractor buffers present in the real ckpt (ignored
+    # by the importer: the mel frontend is reimplemented in ops/)
+    sd["spectrogram_extractor.stft.conv_real.weight"] = _t(rs, 257, 1, 512)
+    sd["spectrogram_extractor.stft.conv_imag.weight"] = _t(rs, 257, 1, 512)
+    sd["logmel_extractor.melW"] = _t(rs, 257, 64)
+
+    def bn(prefix, n):
+        sd[f"{prefix}.weight"] = _t(rs, n)
+        sd[f"{prefix}.bias"] = _t(rs, n)
+        sd[f"{prefix}.running_mean"] = _t(rs, n)
+        sd[f"{prefix}.running_var"] = np.abs(_t(rs, n)) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = np.array(0)
+
+    bn("bn0", 64)
+    chans = [1, 64, 128, 256, 512, 1024, 2048]
+    for i in range(1, 7):
+        c_in, c_out = chans[i - 1], chans[i]
+        sd[f"conv_block{i}.conv1.weight"] = _t(rs, c_out, c_in, 3, 3)
+        bn(f"conv_block{i}.bn1", c_out)
+        sd[f"conv_block{i}.conv2.weight"] = _t(rs, c_out, c_out, 3, 3)
+        bn(f"conv_block{i}.bn2", c_out)
+    sd["fc1.weight"] = _t(rs, 2048, 2048)
+    sd["fc1.bias"] = _t(rs, 2048)
+    sd["fc_audioset.weight"] = _t(rs, 527, 2048)
+    sd["fc_audioset.bias"] = _t(rs, 527)
+    return sd
+
+
+def make_vggish_state_dict(rs=None):
+    """Synthetic torchvggish state dict with the real key set (reference
+    audioldm_eval/metrics/fad.py:53)."""
+    rs = rs or np.random.RandomState(1)
+    sd = {}
+    conv_dims = {
+        "features.0": (64, 1), "features.3": (128, 64),
+        "features.6": (256, 128), "features.8": (256, 256),
+        "features.11": (512, 256), "features.13": (512, 512),
+    }
+    for key, (o, i) in conv_dims.items():
+        sd[f"{key}.weight"] = _t(rs, o, i, 3, 3)
+        sd[f"{key}.bias"] = _t(rs, o)
+    fc_dims = {
+        "embeddings.0": (4096, 512 * 4 * 6),
+        "embeddings.2": (4096, 4096),
+        "embeddings.4": (128, 4096),
+    }
+    for key, (o, i) in fc_dims.items():
+        sd[f"{key}.weight"] = _t(rs, o, i)
+        sd[f"{key}.bias"] = _t(rs, o)
+    return sd
+
+
 class TestCnn14FullKeys:
     def test_full_checkpoint_keys_convert(self):
         from consistencytta_tpu.evaluation.panns import (
@@ -61,34 +119,7 @@ class TestCnn14FullKeys:
             convert_cnn14,
         )
 
-        rs = np.random.RandomState(0)
-        sd = {}
-        # non-parameter extractor buffers present in the real ckpt (ignored
-        # by the importer: the mel frontend is reimplemented in ops/)
-        sd["spectrogram_extractor.stft.conv_real.weight"] = _t(rs, 257, 1, 512)
-        sd["spectrogram_extractor.stft.conv_imag.weight"] = _t(rs, 257, 1, 512)
-        sd["logmel_extractor.melW"] = _t(rs, 257, 64)
-
-        def bn(prefix, n):
-            sd[f"{prefix}.weight"] = _t(rs, n)
-            sd[f"{prefix}.bias"] = _t(rs, n)
-            sd[f"{prefix}.running_mean"] = _t(rs, n)
-            sd[f"{prefix}.running_var"] = np.abs(_t(rs, n)) + 0.5
-            sd[f"{prefix}.num_batches_tracked"] = np.array(0)
-
-        bn("bn0", 64)
-        chans = [1, 64, 128, 256, 512, 1024, 2048]
-        for i in range(1, 7):
-            c_in, c_out = chans[i - 1], chans[i]
-            sd[f"conv_block{i}.conv1.weight"] = _t(rs, c_out, c_in, 3, 3)
-            bn(f"conv_block{i}.bn1", c_out)
-            sd[f"conv_block{i}.conv2.weight"] = _t(rs, c_out, c_out, 3, 3)
-            bn(f"conv_block{i}.bn2", c_out)
-        sd["fc1.weight"] = _t(rs, 2048, 2048)
-        sd["fc1.bias"] = _t(rs, 2048)
-        sd["fc_audioset.weight"] = _t(rs, 527, 2048)
-        sd["fc_audioset.bias"] = _t(rs, 527)
-
+        sd = make_cnn14_state_dict()
         params = convert_cnn14(sd)
         model = Cnn14(Cnn14Config())
         init = jax.eval_shape(
@@ -101,25 +132,7 @@ class TestVGGishFullKeys:
     def test_full_checkpoint_keys_convert(self):
         from consistencytta_tpu.evaluation.vggish import VGGish, convert_vggish
 
-        rs = np.random.RandomState(1)
-        sd = {}
-        conv_dims = {
-            "features.0": (64, 1), "features.3": (128, 64),
-            "features.6": (256, 128), "features.8": (256, 256),
-            "features.11": (512, 256), "features.13": (512, 512),
-        }
-        for key, (o, i) in conv_dims.items():
-            sd[f"{key}.weight"] = _t(rs, o, i, 3, 3)
-            sd[f"{key}.bias"] = _t(rs, o)
-        fc_dims = {
-            "embeddings.0": (4096, 512 * 4 * 6),
-            "embeddings.2": (4096, 4096),
-            "embeddings.4": (128, 4096),
-        }
-        for key, (o, i) in fc_dims.items():
-            sd[f"{key}.weight"] = _t(rs, o, i)
-            sd[f"{key}.bias"] = _t(rs, o)
-
+        sd = make_vggish_state_dict()
         params = convert_vggish(sd)
         init = jax.eval_shape(
             VGGish().init, jax.random.PRNGKey(0), jnp.zeros((1, 96, 64))
