@@ -56,6 +56,10 @@ def _build_parser():
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--text_len", type=int, default=64)
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--no_save_mels", action="store_true",
+                   help="skip writing the all_mels.npz artifact (the "
+                        "reference always saves all_mels.pt, "
+                        "inference.py:222-232)")
     return p
 
 
@@ -77,7 +81,7 @@ def parse_args(argv=None):
 # summary must not silently random-initialize a real inference run, and the
 # TRAIN manifest's column names don't describe the TEST manifest.
 _REPLAY_EXCLUDE = {
-    "original_args", "model", "output_dir", "skip_eval",
+    "original_args", "model", "output_dir", "skip_eval", "no_save_mels",
     "test_file", "test_references", "seed",
     "random_init", "text_column", "audio_column",
 }
@@ -114,7 +118,15 @@ def main(argv=None):
 
     args = parse_args(argv)
     if args.original_args:
-        apply_config_replay(args, read_config_replay(args.original_args))
+        replay = read_config_replay(args.original_args)
+        # reference inference.py:124: an explicitly-passed stage must match
+        # the training run's stage (a silent mismatch would sample a guided
+        # student with the consistency path or vice versa)
+        if "stage" in getattr(args, "_explicit", set()) and "stage" in replay:
+            assert args.stage == replay["stage"], (
+                "Stage mismatch between training and eval."
+            )
+        apply_config_replay(args, replay)
 
     config = build_pipeline_config(args)
     dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
@@ -129,13 +141,28 @@ def main(argv=None):
         text_len=args.text_len,
     )
 
-    gen_cfg = GenerateConfig(
-        num_steps=args.num_steps,
-        guidance_post=args.guidance_scale_post,
-        use_ema=args.use_ema,
-        use_edm=args.use_edm,
-    )
-    generate = build_generate_fn(pipeline, gen_cfg)
+    if args.stage == 1:
+        # AudioGDM inference: multi-step iterative denoising with the
+        # guided student (reference inference.py:125, audio_guided_model.py:171-244)
+        from consistencytta_tpu.inference.generate import (
+            build_guided_student_generate_fn,
+        )
+
+        generate = build_guided_student_generate_fn(
+            pipeline,
+            num_steps=args.num_steps,
+            guidance_post=args.guidance_scale_post,
+            use_ema=args.use_ema,
+            use_edm=args.use_edm,
+        )
+    else:
+        gen_cfg = GenerateConfig(
+            num_steps=args.num_steps,
+            guidance_post=args.guidance_scale_post,
+            use_ema=args.use_ema,
+            use_edm=args.use_edm,
+        )
+        generate = build_generate_fn(pipeline, gen_cfg)
     teacher_generate = (
         build_teacher_generate_fn(pipeline, args.num_teacher_steps, args.use_edm)
         if args.query_teacher
@@ -153,6 +180,21 @@ def main(argv=None):
     all_names, t_total = [], 0.0
     caption_map = {}
     b = args.batch_size
+
+    # all_mels artifact (the reference saves generated mels alongside the
+    # wavs and feeds mel_path to eval, inference.py:222-232). Stored mels
+    # are the EVAL-protocol normalized log-mels of the written files, so
+    # the harness fast path is bit-identical to its recompute path.
+    save_mels = not args.no_save_mels
+    mel_names, mel_arrays = [], []
+    if save_mels:
+        from consistencytta_tpu.evaluation.harness import (
+            eval_mel_frontend,
+            load_wav_16k,
+            normalized_logmel,
+        )
+
+        mel_frontend = eval_mel_frontend()
 
     for start in range(0, len(dataset), b):
         caps = dataset.captions[start : start + b]
@@ -180,11 +222,15 @@ def main(argv=None):
             name = src if src.endswith(".wav") else f"output_{prompt_idx}.wav"
             if args.num_samples > 1:
                 name = f"{name[:-4]}_s{sample_idx}.wav"
-            write_wav(
-                os.path.join(args.output_dir, name), wav[i], config.sample_rate
-            )
+            out_path = os.path.join(args.output_dir, name)
+            write_wav(out_path, wav[i], config.sample_rate)
             caption_map[name] = caps[i]
             batch_names.append(name)
+            if save_mels:
+                mel_names.append(name)
+                mel_arrays.append(
+                    normalized_logmel(load_wav_16k(out_path, 1000), mel_frontend)
+                )
         all_names.extend(batch_names)
 
         if teacher_generate is not None:
@@ -205,13 +251,24 @@ def main(argv=None):
     print(f"Generated {len(all_names)} clips in {t_total:.1f}s "
           f"({len(all_names) / max(t_total, 1e-9):.2f} clips/s)")
 
+    mel_npz = None
+    if save_mels and mel_names:
+        mel_npz = os.path.join(args.output_dir, "all_mels.npz")
+        np.savez(
+            mel_npz,
+            names=np.array(mel_names),
+            mels=np.stack(mel_arrays),
+            target_centisec=1000,
+        )
+
     result = {"num_clips": len(all_names), "gen_seconds": t_total}
     if args.test_references and not args.skip_eval:
         from consistencytta_tpu.evaluation.harness import EvaluationHelper
 
         helper = EvaluationHelper(sampling_rate=config.sample_rate)
         metrics = helper.main(
-            args.output_dir, args.test_references, captions=caption_map
+            args.output_dir, args.test_references, captions=caption_map,
+            mel_path=mel_npz,
         )
         result.update(metrics)
         print(json.dumps(metrics, indent=2))

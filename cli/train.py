@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="LAION-CLAP checkpoint for --loss_type clap")
     p.add_argument("--random_init", action="store_true",
                    help="random-init any missing weights (dev/smoke mode)")
+    # T5 is always frozen here (text-encoder fine-tuning is unimplemented,
+    # as in the reference); the flag must be passed explicitly so recipes
+    # stay compatible and the unsupported mode is rejected loudly
+    # (reference train.py:362 hard-asserts the same).
     p.add_argument("--freeze_text_encoder", action="store_true", default=False)
     p.add_argument("--use_lora", action="store_true")
     p.add_argument("--finetune_vae", action="store_true")
@@ -128,6 +132,20 @@ def main(argv=None):
     from consistencytta_tpu.io.checkpoints import load_checkpoint
 
     args = parse_args(argv)
+    assert args.freeze_text_encoder, (
+        "Text encoder finetuning has not been implemented; "
+        "pass --freeze_text_encoder (reference train.py:362)."
+    )
+    # the noise-schedule constants (scaled_linear beta 0.00085->0.012, 1000
+    # steps, v_prediction) are baked into PipelineConfig.scheduler; the
+    # reference pulls them from this hub repo (train.py:69), so any other
+    # value would silently train with the wrong schedule
+    if args.scheduler_name != "stabilityai/stable-diffusion-2-1":
+        raise ValueError(
+            f"--scheduler_name {args.scheduler_name!r} is not supported: the "
+            "SD-2.1 schedule constants are built in "
+            "(stabilityai/stable-diffusion-2-1)"
+        )
     if args.output_dir is None:
         args.output_dir = f"saved/stage{args.stage}_run"
     append_config_replay(args.output_dir, args)
@@ -216,6 +234,7 @@ def main(argv=None):
             weight_decay=args.adam_weight_decay,
             num_warmup_steps=args.num_warmup_steps,
             max_train_steps=max_steps,
+            lr_scheduler_type=args.lr_scheduler_type,
         )
     )
 

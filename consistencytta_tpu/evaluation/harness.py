@@ -44,17 +44,43 @@ def _list_wavs(directory: str) -> List[str]:
 
 
 def load_wav_16k(path: str, target_centisec: Optional[int] = None) -> np.ndarray:
-    """Load + resample to 16 kHz; optionally crop to target_centisec * 160
-    samples and pad to >= 2 s (audioldm_eval/datasets/load_mel.py:123-151)."""
+    """Load + mean-center + resample to 16 kHz; optionally crop to
+    target_centisec * 160 samples and pad to >= 2 s. Matches the eval
+    protocol's read_centered_wav + WaveDataset.read_from_file
+    (audioldm_eval/datasets/load_mel.py:17-29,123-151): integer-ratio
+    downsampling is plain decimation (stride slicing), anything else goes
+    through the kaiser_best-equivalent resampler, and the DC offset is
+    removed before cropping."""
     wav, sr = read_wav(path)
     wav = wav.astype(np.float32)
     if sr != 16000:
-        wav = resample_numpy(wav, sr, 16000)
+        if sr % 16000 == 0:
+            wav = wav[:: sr // 16000]
+        else:
+            wav = resample_numpy(wav, sr, 16000)
+    wav = wav - wav.mean()
     if target_centisec is not None:
         wav = wav[: target_centisec * 160]
     if len(wav) < 32000:
         wav = np.pad(wav, (0, 32000 - len(wav)))
     return wav
+
+
+def eval_mel_frontend():
+    """The eval-protocol mel frontend (512-point, fmin 50 — differs from the
+    training frontend, audioldm_eval/eval.py:90-93). Shared by the harness
+    and by cli/inference.py's all_mels artifact writer so stored and
+    recomputed mels are bit-identical."""
+    from consistencytta_tpu.ops.stft import MelFrontend
+
+    return MelFrontend(
+        STFTConfig(
+            filter_length=512,
+            hop_length=160,
+            win_length=512,
+            mel_fmin=50.0,
+        )
+    )
 
 
 def normalized_logmel(wav: np.ndarray, frontend) -> np.ndarray:
@@ -81,17 +107,8 @@ class EvaluationHelper:
     kid_subsets: int = 100
 
     def __post_init__(self):
-        from consistencytta_tpu.ops.stft import MelFrontend
-
         # eval-specific mel frontend: 512-point, fmin 50 (eval.py:90-93)
-        self.eval_frontend = MelFrontend(
-            STFTConfig(
-                filter_length=512,
-                hop_length=160,
-                win_length=512,
-                mel_fmin=50.0,
-            )
-        )
+        self.eval_frontend = eval_mel_frontend()
         self._cnn14 = None
         self._vggish = None
         self._clap = None
@@ -105,13 +122,22 @@ class EvaluationHelper:
             import jax
 
             from consistencytta_tpu.evaluation.panns import Cnn14, convert_cnn14
-            from consistencytta_tpu.io.torch_import import load_torch_state_dict
+            from consistencytta_tpu.io.torch_import import (
+                assert_params_match,
+                load_torch_state_dict,
+            )
 
             sd = load_torch_state_dict(self.cnn14_checkpoint)
             sd = {k[len("model.") :] if k.startswith("model.") else k: v
                   for k, v in sd.items()}
             model = Cnn14()
             params = convert_cnn14(sd)
+            expected = jax.eval_shape(
+                lambda: model.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 32000), np.float32)
+                )
+            )["params"]
+            assert_params_match(params, expected, self.cnn14_checkpoint)
             fn = jax.jit(lambda w: model.apply({"params": params}, w))
             self._cnn14 = fn
         return self._cnn14
@@ -145,16 +171,37 @@ class EvaluationHelper:
         )
         return same, sorted(inter)
 
+    def load_mel_artifact(self, mel_path: Optional[str]) -> Dict[str, np.ndarray]:
+        """Load the all_mels.npz written by cli/inference.py (the reference's
+        all_mels.pt artifact, inference.py:222-232) into a name->mel dict.
+        Mels stored under a different crop length than this helper's are
+        rejected (recompute instead) so a stale artifact can't skew PSNR/SSIM.
+        """
+        if not mel_path or not os.path.exists(mel_path):
+            return {}
+        with np.load(mel_path, allow_pickle=False) as z:
+            if int(z["target_centisec"]) != self.target_length_centisec:
+                print(
+                    f"WARNING: {mel_path} stores mels cropped at "
+                    f"{int(z['target_centisec'])} centisec, helper expects "
+                    f"{self.target_length_centisec}; recomputing mels"
+                )
+                return {}
+            names = [str(n) for n in z["names"]]
+            return dict(zip(names, z["mels"]))
+
     def main(
         self,
         generated_dir: str,
         reference_dir: str,
         captions: Optional[Dict[str, str]] = None,
         limit_num: Optional[int] = None,
+        mel_path: Optional[str] = None,
     ) -> Dict[str, float]:
         same_name, shared = self.file_intersection(generated_dir, reference_dir)
         if limit_num:
             shared = shared[:limit_num]
+        stored_mels = self.load_mel_artifact(mel_path)
 
         gen_paths = (
             [os.path.join(generated_dir, n) for n in shared]
@@ -179,7 +226,9 @@ class EvaluationHelper:
                 lsd_vals.append(r["lsd"])
                 stft_ssim_vals.append(r["ssim_stft"])
 
-                mel_gen = normalized_logmel(wav_gen, self.eval_frontend)
+                mel_gen = stored_mels.get(os.path.basename(gp))
+                if mel_gen is None:
+                    mel_gen = normalized_logmel(wav_gen, self.eval_frontend)
                 mel_ref = normalized_logmel(wav_ref, self.eval_frontend)
                 n = min(len(mel_gen), len(mel_ref))
                 p = M.psnr(mel_gen[:n], mel_ref[:n])

@@ -43,6 +43,7 @@ def workdir(tmp_path_factory):
 
 def _common_flags(workdir, out):
     return [
+        "--freeze_text_encoder",
         "--pipeline_config", "tiny",
         "--train_file", workdir["manifest"],
         "--validation_file", workdir["manifest"],
@@ -116,6 +117,12 @@ def test_three_stage_chain_and_inference(workdir):
 
         data = read_wav_file(w, SEG, 16000)
         assert np.isfinite(data).all()
+
+    # all_mels artifact written alongside the wavs (reference
+    # inference.py:222-232 saves all_mels.pt)
+    with np.load(str(out_dir / "all_mels.npz")) as z:
+        assert len(z["names"]) == 8
+        assert z["mels"].shape[0] == 8 and np.isfinite(z["mels"]).all()
 
 
 @pytest.mark.slow

@@ -230,3 +230,55 @@ class TestHarnessSmoke:
         assert 0 < out["ssim"] <= 1
         assert np.isnan(out["frechet_distance"])  # no Cnn14 ckpt
         assert os.path.exists(str(gen_dir) + "_evaluation_results.json")
+
+    def test_mel_artifact_fast_path_is_exact(self, tmp_path, rng):
+        """The all_mels.npz fast path (the reference's all_mels.pt artifact,
+        inference.py:222-232) must reproduce PSNR/SSIM bit-identically vs
+        recomputing mels from the wav files."""
+        from consistencytta_tpu.evaluation.harness import (
+            EvaluationHelper,
+            eval_mel_frontend,
+            load_wav_16k,
+            normalized_logmel,
+        )
+        from consistencytta_tpu.io.audio import write_wav
+
+        gen_dir, ref_dir = tmp_path / "gen", tmp_path / "ref"
+        gen_dir.mkdir(), ref_dir.mkdir()
+        t = np.arange(32000) / 16000
+        names = []
+        for i in range(2):
+            tone = 0.5 * np.sin(2 * np.pi * (440 + 80 * i) * t)
+            write_wav(str(ref_dir / f"b{i}.wav"), tone)
+            write_wav(
+                str(gen_dir / f"b{i}.wav"),
+                tone + rng.normal(0, 0.03, tone.shape),
+            )
+            names.append(f"b{i}.wav")
+
+        # write the artifact exactly as cli/inference.py does
+        frontend = eval_mel_frontend()
+        mels = np.stack([
+            normalized_logmel(load_wav_16k(str(gen_dir / n), 1000), frontend)
+            for n in names
+        ])
+        mel_npz = str(tmp_path / "all_mels.npz")
+        np.savez(
+            mel_npz, names=np.array(names), mels=mels, target_centisec=1000
+        )
+
+        helper = EvaluationHelper(
+            cnn14_checkpoint=None, vggish_checkpoint=None, clap_checkpoint=None
+        )
+        recomputed = helper.main(str(gen_dir), str(ref_dir))
+        fast = helper.main(str(gen_dir), str(ref_dir), mel_path=mel_npz)
+        assert fast["psnr"] == recomputed["psnr"]
+        assert fast["ssim"] == recomputed["ssim"]
+
+        # a stale artifact (wrong crop length) must be ignored, not trusted
+        np.savez(
+            mel_npz, names=np.array(names), mels=mels * 0.5,
+            target_centisec=500,
+        )
+        stale = helper.main(str(gen_dir), str(ref_dir), mel_path=mel_npz)
+        assert stale["psnr"] == recomputed["psnr"]
