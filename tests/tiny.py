@@ -11,6 +11,7 @@ those — a source change invalidates the cache automatically.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import pickle
@@ -26,6 +27,7 @@ def tiny_config() -> PipelineConfig:
     return PipelineConfig.tiny()
 
 
+@functools.lru_cache(maxsize=1)
 def _source_digest() -> str:
     """Digest of every package source file: any code change invalidates
     cached param trees (param structure or init math may have moved)."""
@@ -43,7 +45,9 @@ def _source_digest() -> str:
 def cached_init_params(
     pipeline,
     seed: int = 0,
-    text_len: int = 16,
+    *,
+    text_len: int,  # required: a silent default must not diverge from
+    # Pipeline.init_params' own (64) and hand back wrong-shaped text params
     roles=_DEFAULT_ROLES,
 ):
     """`pipeline.init_params` with a cross-run disk cache (tests only)."""
@@ -51,7 +55,10 @@ def cached_init_params(
     import jax.numpy as jnp
     import numpy as np
 
-    key = f"{pipeline.config!r}|{seed}|{text_len}|{tuple(roles)}|{_source_digest()}"
+    key = (
+        f"{pipeline.config!r}|{seed}|{text_len}|{tuple(roles)}"
+        f"|{pipeline.student_unet.dtype}|{_source_digest()}"
+    )
     path = os.path.join(
         _CACHE_DIR,
         "params-" + hashlib.sha256(key.encode()).hexdigest()[:24] + ".pkl",
