@@ -72,6 +72,9 @@ def parse_args(argv=None):
     p.add_argument("--per_device_train_batch_size", type=int, default=2)
     p.add_argument("--per_device_eval_batch_size", type=int, default=2)
     p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    # restrict the mesh to the first N local devices (debug/bring-up on a
+    # chip subset; the reference equivalent is CUDA_VISIBLE_DEVICES)
+    p.add_argument("--num_devices", type=int, default=None)
     # disable student-forward rematerialization: ~9% faster steps when the
     # activations fit HBM (measured 507 -> 465 ms for the LoRA step; keep
     # remat for full-param single-chip runs)
@@ -170,8 +173,16 @@ def main(argv=None):
 
     # data
     tokenizer = load_tokenizer(args.text_encoder_name, vocab_size=config.t5.vocab_size)
-    n_dev = len(jax.devices())
-    mesh = make_mesh()
+    devices = jax.devices()
+    if args.num_devices is not None:
+        if not 1 <= args.num_devices <= len(devices):
+            raise ValueError(
+                f"--num_devices {args.num_devices} out of range "
+                f"(1..{len(devices)} local devices)"
+            )
+        devices = devices[: args.num_devices]
+    n_dev = len(devices)
+    mesh = make_mesh(devices=devices)
     global_batch = (
         args.per_device_train_batch_size * n_dev * args.gradient_accumulation_steps
     )

@@ -153,11 +153,34 @@ def sharded_step(
     )
 
 
+def _dedup_aliased_leaves(state):
+    """Copy any leaf buffer that appears more than once in the state.
+
+    Role trees seeded from a single checkpoint alias (cli/common.py fans one
+    student_ema tree out to student/target/ema; Pipeline.init_params shares
+    one init across roles). On a multi-device mesh device_put copies and
+    hides that, but on a 1-device mesh it is a no-op and the donated step
+    fails with "Attempt to donate the same buffer twice"."""
+    import jax.numpy as jnp
+
+    seen: set = set()
+
+    def dedup(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            if id(x) in seen:
+                return jnp.array(x, copy=True)
+            seen.add(id(x))
+        return x
+
+    return jax.tree_util.tree_map(dedup, state)
+
+
 def shard_train_state(state, mesh: Mesh, zero1: bool = True):
     """Place a TrainState on the mesh: student replicated; optimizer state
     and EMA shadows ZeRO-1 sharded when requested."""
     import dataclasses
 
+    state = _dedup_aliased_leaves(state)
     fields = {}
     for f in dataclasses.fields(state):
         val = getattr(state, f.name)

@@ -34,8 +34,13 @@ jax.config.update("jax_platforms", "cpu")
 # with TPU runs is safe.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+    os.environ.get(
+        "CTTA_JAX_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -43,6 +43,11 @@ def workdir(tmp_path_factory):
 
 def _common_flags(workdir, out):
     return [
+        # single-device: these tests prove checkpoint/handoff/replay wiring,
+        # not sharding (test_zero1_identity + dryrun_multichip cover the
+        # 8-device step); the 8-device sharded step costs ~50 s per variant
+        # just to DESERIALIZE from the compile cache on this 1-core box
+        "--num_devices", "1",
         "--freeze_text_encoder",
         "--pipeline_config", "tiny",
         "--train_file", workdir["manifest"],
