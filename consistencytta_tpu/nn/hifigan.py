@@ -23,6 +23,10 @@ from consistencytta_tpu.nn.layers import (
     conv_transpose_1d,
     conv_transpose_1d_blocked,
 )
+from consistencytta_tpu.ops.pallas_mrf import (
+    fused_mrf_level,
+    fused_mrf_supported,
+)
 
 
 def _get_padding(kernel_size: int, dilation: int = 1) -> int:
@@ -44,12 +48,18 @@ class ResBlock(nn.Module):
     lrelu_slope: float = 0.1
     block_s: int = 1
     dtype: jnp.dtype = jnp.float32
+    # probe mode: declare the identical param tree but return the chain's
+    # (kernel, bias) pairs for the parent's fused level kernel
+    probe_params: bool = False
 
     @nn.compact
     def __call__(self, x):
+        probed = []
         for i, d in enumerate(self.dilations):
-            xt = nn.leaky_relu(x, self.lrelu_slope)
-            xt = FastConv1d(
+            # probe mode passes x through: every conv in the chain sees the
+            # same blocked shape, so declaration/validation are identical
+            xt = x if self.probe_params else nn.leaky_relu(x, self.lrelu_slope)
+            c1 = FastConv1d(
                 self.channels,
                 self.kernel_size,
                 kernel_dilation=d,
@@ -57,20 +67,26 @@ class ResBlock(nn.Module):
                 block_s=self.block_s,
                 in_features=self.channels,
                 dtype=self.dtype,
+                probe_params=self.probe_params,
                 name=f"convs1_{i}",
             )(xt)
-            xt = nn.leaky_relu(xt, self.lrelu_slope)
-            xt = FastConv1d(
+            if not self.probe_params:
+                xt = nn.leaky_relu(c1, self.lrelu_slope)
+            c2 = FastConv1d(
                 self.channels,
                 self.kernel_size,
                 padding=_get_padding(self.kernel_size, 1),
                 block_s=self.block_s,
                 in_features=self.channels,
                 dtype=self.dtype,
+                probe_params=self.probe_params,
                 name=f"convs2_{i}",
             )(xt)
-            x = xt + x
-        return x
+            if self.probe_params:
+                probed.extend((c1, c2))
+            else:
+                x = c2 + x
+        return probed if self.probe_params else x
 
 
 class HiFiGANGenerator(nn.Module):
@@ -124,16 +140,46 @@ class HiFiGANGenerator(nn.Module):
                     x, kernel.astype(self.dtype), stride=u, padding=(k - u) // 2
                 ) + bias.astype(self.dtype)
 
-            acc = None
-            for j, (rk, rd) in enumerate(
-                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-            ):
-                y = ResBlock(
-                    ch, rk, tuple(rd), cfg.lrelu_slope, block_s=s,
-                    dtype=self.dtype, name=f"resblock_{i}_{j}",
-                )(x)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
+            # Fused MRF level: the 128-lane blocked levels (C*s == 128)
+            # run all 3 resblocks + average as ONE batch-folded Pallas
+            # kernel when the batch folds by 8 — measured -18.1 ms on the
+            # batch-32 vocoder (ops/pallas_mrf.py, PERF.md round-4).
+            # Param tree is untouched: probe mode declares the identical
+            # FastConv1d params and hands them to the fused kernel.
+            k_sizes = tuple(cfg.resblock_kernel_sizes)
+            d_sizes = tuple(tuple(dd) for dd in cfg.resblock_dilation_sizes)
+            fuse = (
+                allow_block
+                and self.dtype != jnp.float32  # fp32 runs keep parity path
+                and fused_mrf_supported(
+                    ch, s, x.shape[1], k_sizes, d_sizes, batch=x.shape[0]
+                )
+            )
+            if fuse:
+                kbs = []
+                for j, (rk, rd) in enumerate(zip(k_sizes, d_sizes)):
+                    kbs.extend(
+                        ResBlock(
+                            ch, rk, tuple(rd), cfg.lrelu_slope, block_s=s,
+                            dtype=self.dtype, probe_params=True,
+                            name=f"resblock_{i}_{j}",
+                        )(x)
+                    )
+                x = fused_mrf_level(
+                    x.astype(self.dtype),
+                    tuple(kb[0] for kb in kbs),
+                    tuple(kb[1] for kb in kbs),
+                    k_sizes, d_sizes, s, cfg.lrelu_slope,
+                )
+            else:
+                acc = None
+                for j, (rk, rd) in enumerate(zip(k_sizes, d_sizes)):
+                    y = ResBlock(
+                        ch, rk, tuple(rd), cfg.lrelu_slope, block_s=s,
+                        dtype=self.dtype, name=f"resblock_{i}_{j}",
+                    )(x)
+                    acc = y if acc is None else acc + y
+                x = acc / num_kernels
 
         x = nn.leaky_relu(x)  # default slope 0.01 (models.py:113 F.leaky_relu)
         x = FastConv1d(

@@ -297,6 +297,11 @@ class FastConv1d(nn.Module):
     block_s: int = 1
     in_features: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    # probe mode: declare the params (identical tree/shapes) and return
+    # (kernel, bias) instead of computing — lets a parent fuse several
+    # convs into one kernel (ops/pallas_mrf.py) without touching the
+    # checkpoint-facing param structure
+    probe_params: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -317,6 +322,8 @@ class FastConv1d(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
+        if self.probe_params:
+            return kernel, bias.astype(self.dtype)
         x = x.astype(self.dtype)
 
         if s > 1:

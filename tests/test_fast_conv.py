@@ -6,6 +6,8 @@ structure of FastConv1d must match nn.Conv so torch importers are
 unaffected.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,3 +143,76 @@ def test_fastconv_matches_nn_conv_output():
     np.testing.assert_array_equal(
         np.asarray(fast.apply(params, x)), np.asarray(conv.apply(params, x))
     )
+
+
+@pytest.mark.parametrize(
+    "k,d,m",
+    [(3, 3, 256), (3, 5, 256), (11, 5, 256), (7, 3, 256), (3, 1, 256),
+     # ragged M (not a tile multiple): Mosaic masks the trailing block and
+     # the kernel masks global rows >= m — the production tail M is 40968
+     (3, 3, 136), (11, 5, 131), (7, 3, 200)],
+)
+def test_pallas_blockconv_interpret_matches_rechanneled(k, d, m):
+    """The dense-packed Pallas kernel (ops/pallas_blockconv.py) multiplies
+    exactly the taps of the XLA block-sparse formulation, never the
+    structured zeros — interpret-mode output must match to fp rounding."""
+    from consistencytta_tpu.nn.layers import conv1d_rechanneled_pre
+    from consistencytta_tpu.ops.pallas_blockconv import _forward
+
+    rng = np.random.default_rng(7)
+    s, c = 2, 64
+    p = d * (k - 1) // 2
+    x = jnp.asarray(rng.standard_normal((2, m, s * c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, c, c)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_forward(x, w, d, p, s, interpret=True)),
+        np.asarray(conv1d_rechanneled_pre(x, w, d, p, s)),
+        atol=1e-4, rtol=1e-5,
+    )
+
+
+def test_pallas_blockconv_vjp_matches_plain_path():
+    """blockconv1d_dense's custom VJP routes through the XLA formulation;
+    grads must equal autodiff of conv1d_rechanneled_pre exactly."""
+    from consistencytta_tpu.nn.layers import conv1d_rechanneled_pre
+    from consistencytta_tpu.ops.pallas_blockconv import blockconv1d_dense
+
+    rng = np.random.default_rng(9)
+    k, d, s, c, m = 3, 3, 2, 64, 128
+    p = d * (k - 1) // 2
+    x = jnp.asarray(rng.standard_normal((1, m, s * c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, c, c)), jnp.float32)
+    # interpret-mode forward so the custom-vjp pair is exercised on CPU
+    import consistencytta_tpu.ops.pallas_blockconv as pb
+    orig = pb._forward
+    pb._forward = functools.partial(orig, interpret=True)
+    try:
+        gx, gw = jax.grad(
+            lambda xx, ww: jnp.sum(blockconv1d_dense(xx, ww, d, p, s) ** 2),
+            argnums=(0, 1),
+        )(x, w)
+    finally:
+        pb._forward = orig
+    rx, rw = jax.grad(
+        lambda xx, ww: jnp.sum(conv1d_rechanneled_pre(xx, ww, d, p, s) ** 2),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=2e-3, rtol=1e-4)
+
+
+def test_blockconv_gate_production_geometries():
+    """The dispatch gate accepts exactly the measured-faster shapes: the
+    s=2 dilated resblock convs (HiFi-GAN tail), rejects d=1 and s=4."""
+    from consistencytta_tpu.ops.pallas_blockconv import (
+        blockconv1d_dense_supported as ok,
+    )
+
+    assert ok(3, 3, 2, 64, 64, 2560)
+    assert ok(3, 5, 2, 64, 64, 2560)
+    assert ok(11, 5, 2, 64, 64, 20480)
+    assert ok(11, 5, 2, 64, 64, 40968)       # production ragged tail M
+    assert not ok(3, 1, 2, 64, 64, 2560)     # d=1: XLA already dense
+    assert not ok(3, 3, 4, 32, 32, 1280)     # s=4: measured 2.7x slower
+    assert not ok(3, 3, 2, 64, 128, 2560)    # c_in != c_out
+    assert not ok(3, 3, 2, 64, 64, 64)       # below one tile

@@ -115,3 +115,66 @@ def test_pallas_stft_compiled_matches_xla():
     )
     err = float(jnp.max(jnp.abs(a - b)))
     assert err < 5e-2, err
+
+
+def test_pallas_blockconv_compiled_matches_xla():
+    """Mosaic-compiled dense block conv vs the XLA block-sparse kernel at
+    the production s=2 vocoder-tail geometries (C=64 level of the HiFi-GAN
+    tail, reference audioldm/hifigan/models.py:20-63)."""
+    from consistencytta_tpu.nn.layers import conv1d_rechanneled_pre
+    from consistencytta_tpu.ops.pallas_blockconv import blockconv1d_dense
+
+    rng = np.random.default_rng(11)
+    s, c = 2, 64
+    # 5128 ≡ 40968 mod 1024: exercises the same ragged trailing tile as
+    # the production tail level at test-affordable size
+    for (k, d, m) in [(3, 3, 2560), (3, 5, 2560), (11, 5, 5128), (7, 3, 640)]:
+        p = d * (k - 1) // 2
+        x = jnp.asarray(rng.standard_normal((2, m, s * c)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, c, c)), jnp.bfloat16)
+        a = jax.jit(blockconv1d_dense, static_argnums=(2, 3, 4))(x, w, d, p, s)
+        b = jax.jit(conv1d_rechanneled_pre, static_argnums=(2, 3, 4))(
+            x, w, d, p, s
+        )
+        err = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        )
+        ref = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+        assert err / ref < 2e-2, (k, d, m, err / ref)
+
+
+def test_fused_mrf_level_compiled_matches_xla():
+    """Mosaic-compiled fused MRF level (ops/pallas_mrf.py: 3 resblocks +
+    relus + residuals + average in one pallas_call) vs the plain XLA
+    per-conv formulation, at the production blocked geometries
+    (reference audioldm/hifigan/models.py:20-63,100-112)."""
+    from consistencytta_tpu.ops import pallas_mrf as pm
+
+    ks = (3, 7, 11)
+    ds = ((1, 3, 5),) * 3
+    rng = np.random.default_rng(13)
+    # 1416 ≡ 40968 mod 1024 at s=2 / ≡ 40960 mod 1024 at s=4 tile counts
+    # differ, but both exercise a ragged trailing tile beyond one full one.
+    # B=8 compiles the production batch-folded variant (transposed-bitcast
+    # blocks, sublane-aligned tap slices); B=2 the unfolded one.
+    for s, m, b in [(2, 1416, 8), (4, 1304, 8), (2, 1416, 2)]:
+        c = 128 // s
+        kernels, biases = [], []
+        for k, dd in zip(ks, ds):
+            for _ in dd:
+                for _ in range(2):
+                    kernels.append(jnp.asarray(
+                        rng.standard_normal((k, c, c)) * 0.08, jnp.bfloat16))
+                    biases.append(jnp.asarray(
+                        rng.standard_normal((c,)) * 0.08, jnp.bfloat16))
+        kernels, biases = tuple(kernels), tuple(biases)
+        x = jnp.asarray(rng.standard_normal((b, m, 128)) * 0.5, jnp.bfloat16)
+        a = jax.jit(lambda xx, kk, bb, s=s: pm.fused_mrf_level(
+            xx, kk, bb, ks, ds, s, 0.1))(x, kernels, biases)
+        b = jax.jit(lambda xx, kk, bb, s=s: pm.plain_mrf_level(
+            xx, kk, bb, ks, ds, s, 0.1))(x, kernels, biases)
+        err = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        )
+        ref = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+        assert err / ref < 3e-2, (s, m, err / ref)
