@@ -33,6 +33,7 @@ vocoder (stage-3 CLAP loss) keep their measured XLA backward.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -48,6 +49,10 @@ LANES = 128
 # hardware, the block-sparse tap-sum spends most of its time on unaligned
 # sublane slices + structured-zero matmuls; the dense grouping halves both
 DENSE_S2 = True
+# experiment toggle: also dense-group the d=1 convs (saves 1-2 tap matmuls
+# per conv for 2 rolls + a lane blend) — plans are lru-cached per process,
+# so this is a process-start switch, not a runtime one
+_DENSE_MIN_D = 1 if os.environ.get("CTTA_MRF_DENSE_D1") else 2
 
 
 class _ConvPlan(NamedTuple):
@@ -126,7 +131,7 @@ def _make_level_plan(
         for d in ds:
             for dd in (d, 1):  # convs1_i (dilated) then convs2_i (d=1)
                 n, h, stride = _conv_geometry(k, dd, s)
-                if DENSE_S2 and s == 2 and dd > 1:
+                if DENSE_S2 and s == 2 and dd >= _DENSE_MIN_D:
                     g, d_max, t_r, i_r, delta_j = _dense_geometry(k, dd, s)
                     chain.append(_ConvPlan(
                         tap_start, g, h, 1, dense=True, d=dd, d_max=d_max,
@@ -203,16 +208,20 @@ def _kernel_body(
 
     if bf == 1:
         xt3 = jnp.concatenate([x_prev[0], x_cur[0], x_next[0]], axis=0)
+        x_ext = xt3[(tm - h) * bf : (2 * tm + h) * bf]  # [EXT*bf, 128]
     else:
-        xt3 = jnp.concatenate(
+        # halo blocks are hb m-rows (hb >= h, hb | tm): fetching narrow
+        # halo blocks instead of full neighbour tiles cuts input DMA from
+        # 3x the activation to (tm + 2*hb)/tm of it
+        hb = x_prev.shape[0]
+        x_ext = jnp.concatenate(
             [
-                x_prev[...].reshape(tm * bf, LANES),
+                x_prev[...].reshape(hb * bf, LANES)[(hb - h) * bf :],
                 x_cur[...].reshape(tm * bf, LANES),
-                x_next[...].reshape(tm * bf, LANES),
+                x_next[...].reshape(hb * bf, LANES)[: h * bf],
             ],
             axis=0,
         )
-    x_ext = xt3[(tm - h) * bf : (2 * tm + h) * bf]  # [EXT*bf, 128]
 
     # validity of every extended row against the signal bounds — the same
     # mask implements (a) garbage halo rows at clipped edge tiles and
@@ -386,12 +395,27 @@ def _forward(x_blocked, kernels, biases, kernel_sizes, dilations, s, slope,
     else:
         x_in = jnp.transpose(x_blocked, (1, 0, 2))
         out_shape = (m, b, LANES)
+        # narrow halo blocks: smallest power-of-two >= halo (divides tm)
+        hb = 8
+        while hb < plan.h:
+            hb *= 2
+        n_hb = -(-m // hb)
+        per = tm // hb
 
         def x_spec(shift):
-            def idx(bi, ti, *_):
-                return (jnp.clip(ti + shift, 0, n_tiles - 1), bi, 0)
-
-            return pl.BlockSpec((tm, bf, LANES), idx, memory_space=pltpu.VMEM)
+            if shift == 0:
+                return pl.BlockSpec(
+                    (tm, bf, LANES),
+                    lambda bi, ti: (ti, bi, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            if shift < 0:
+                idx = lambda bi, ti: (jnp.maximum(ti * per - 1, 0), bi, 0)
+            else:
+                idx = lambda bi, ti: (
+                    jnp.minimum(ti * per + per, n_hb - 1), bi, 0
+                )
+            return pl.BlockSpec((hb, bf, LANES), idx, memory_space=pltpu.VMEM)
 
         out_spec = pl.BlockSpec(
             (tm, bf, LANES), lambda bi, ti: (ti, bi, 0),
