@@ -53,6 +53,10 @@ DENSE_S2 = True
 # per conv for 2 rolls + a lane blend) — plans are lru-cached per process,
 # so this is a process-start switch, not a runtime one
 _DENSE_MIN_D = 1 if os.environ.get("CTTA_MRF_DENSE_D1") else 2
+# experiment toggle: dense-group the s=4 level too (k=11 d=5 drops from
+# 15 block-sparse taps to 4 dense groups; all its dilations are coprime
+# with 4). Off by default pending hardware A/B.
+_DENSE_S = (2, 4) if os.environ.get("CTTA_MRF_DENSE_S4") else (2,)
 
 
 class _ConvPlan(NamedTuple):
@@ -131,7 +135,7 @@ def _make_level_plan(
         for d in ds:
             for dd in (d, 1):  # convs1_i (dilated) then convs2_i (d=1)
                 n, h, stride = _conv_geometry(k, dd, s)
-                if DENSE_S2 and s == 2 and dd >= _DENSE_MIN_D:
+                if DENSE_S2 and s in _DENSE_S and dd >= _DENSE_MIN_D:
                     g, d_max, t_r, i_r, delta_j = _dense_geometry(k, dd, s)
                     chain.append(_ConvPlan(
                         tap_start, g, h, 1, dense=True, d=dd, d_max=d_max,

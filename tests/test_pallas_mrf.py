@@ -49,6 +49,9 @@ def _make_level(rng, s, c, scale=0.08):
         (2, 300, 8),
         (4, 264, 8),
         (2, 513, 8),
+        # single tile at bf=8: both narrow halo fetches are clamped +
+        # fully masked (the n_tiles == 1 edge of the halo-block indexing)
+        (2, 256, 8),
     ],
 )
 def test_fused_mrf_interpret_matches_plain(s, m, b):
