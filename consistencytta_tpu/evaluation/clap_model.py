@@ -702,16 +702,32 @@ class CLAPWrapper:
         )
         return cls(audio_fn, text_fn, tokenizer, frontend)
 
-    def audio_embeddings(self, paths: List[str], batch: int = 4) -> np.ndarray:
+    def audio_embeddings(self, paths: List[str], batch: int = 16) -> np.ndarray:
+        """Batch-16 embedding matching the reference CLAP protocol
+        (audioldm_eval/eval.py:217-219 DataLoader(batch_size=16) +
+        eval.py:38-46 seed_all(0) before every get_audio_embedding_from_data
+        call): each batch re-seeds the crop RNG, and clips longer than 10 s
+        get the reference's seeded rand_trunc crop (one np.random.randint
+        draw per long clip, in batch order —
+        laion_clap/training/data.py:465-467)."""
         from consistencytta_tpu.evaluation.harness import load_wav_16k
 
         outs = []
         for start in range(0, len(paths), batch):
+            # the reference's seed_all(0) -> np.random chain, reproduced
+            # with an isolated RandomState (same MT19937 stream)
+            rand_state = np.random.RandomState(0)
             wavs = []
             for p in paths[start : start + batch]:
                 w = load_wav_16k(p, 1000)
                 w = resample_to_48k(w)
-                wavs.append(fit_length(w, 480000))
+                # the eval loader peak-normalizes (tools/torch_tools.py:
+                # 54-75 read_wav_file: /max/2 -> pad/crop -> /max/2 again;
+                # the double application lands the crop at peak 0.5)
+                w = w / (np.abs(w).max() + 1e-8) / 2.0
+                w = fit_length(w, 480000, rand_state)
+                w = w / (np.abs(w).max() + 1e-8) / 2.0
+                wavs.append(w)
             outs.append(np.asarray(self.audio_fn(np.stack(wavs))))
         return np.concatenate(outs, axis=0)
 
@@ -745,10 +761,28 @@ def resample_to_48k(wav_16k: np.ndarray) -> np.ndarray:
     return resample_numpy(wav_16k.astype(np.float32), 16000, 48000)
 
 
-def fit_length(wav: np.ndarray, n: int) -> np.ndarray:
-    """Crop or repeat-pad to n samples (get_audio_features 'repeatpad'
-    filling / deterministic head truncation)."""
-    if len(wav) >= n:
-        return wav[:n]
-    reps = int(np.ceil(n / len(wav)))
-    return np.tile(wav, reps)[:n]
+def fit_length(
+    wav: np.ndarray, n: int, rand_state: "np.random.RandomState | None" = None
+) -> np.ndarray:
+    """Fit to n samples with the reference get_audio_features semantics
+    (laion_clap/training/data.py:402-495, data_truncating='rand_trunc',
+    data_filling='repeatpad'):
+
+      * longer than n  -> random crop, start = rand_state.randint(0,
+        overflow + 1) — the np.random draw the reference makes after
+        seed_all(0) (:465-467). rand_state=None keeps the deterministic
+        head crop (start 0) for callers outside the eval protocol.
+      * shorter than n -> repeat floor(n/len) times, then ZERO-pad to n
+        (:472-483 'repeatpad': repeat then F.pad with zeros — not a
+        cyclic tile).
+      * exactly n      -> unchanged.
+    """
+    if len(wav) > n:
+        start = int(rand_state.randint(0, len(wav) - n + 1)) if rand_state is not None else 0
+        return wav[start : start + n]
+    if len(wav) == n:
+        return wav
+    reps = n // len(wav)
+    out = np.zeros((n,), wav.dtype)
+    out[: reps * len(wav)] = np.tile(wav, reps)
+    return out

@@ -43,14 +43,17 @@ def _list_wavs(directory: str) -> List[str]:
     )
 
 
-def load_wav_16k(path: str, target_centisec: Optional[int] = None) -> np.ndarray:
+def load_wav_16k(
+    path: str, target_centisec: Optional[int] = None, pad_to_2s: bool = True
+) -> np.ndarray:
     """Load + mean-center + resample to 16 kHz; optionally crop to
-    target_centisec * 160 samples and pad to >= 2 s. Matches the eval
-    protocol's read_centered_wav + WaveDataset.read_from_file
+    target_centisec * 160 samples and (by default) pad to >= 2 s. Matches
+    the eval protocol's read_centered_wav + WaveDataset.read_from_file
     (audioldm_eval/datasets/load_mel.py:17-29,123-151): integer-ratio
     downsampling is plain decimation (stride slicing), anything else goes
     through the kaiser_best-equivalent resampler, and the DC offset is
-    removed before cropping."""
+    removed before cropping. pad_to_2s=False gives the MelPairedDataset
+    variant (read_centered_wav only: no crop, no minimum-length pad)."""
     wav, sr = read_wav(path)
     wav = wav.astype(np.float32)
     if sr != 16000:
@@ -61,7 +64,7 @@ def load_wav_16k(path: str, target_centisec: Optional[int] = None) -> np.ndarray
     wav = wav - wav.mean()
     if target_centisec is not None:
         wav = wav[: target_centisec * 160]
-    if len(wav) < 32000:
+    if pad_to_2s and len(wav) < 32000:
         wav = np.pad(wav, (0, 32000 - len(wav)))
     return wav
 
@@ -146,18 +149,26 @@ class EvaluationHelper:
         fn = self._get_cnn14()
         if fn is None:
             return None
-        embs, logits = [], []
-        for start in range(0, len(paths), batch):
-            chunk = [
-                load_wav_16k(p, self.target_length_centisec)
-                for p in paths[start : start + batch]
-            ]
-            n = max(len(w) for w in chunk)
-            wavs = np.stack([np.pad(w, (0, n - len(w))) for w in chunk])
-            out = fn(wavs)
-            embs.append(np.asarray(out["2048"]))
-            logits.append(np.asarray(out["logits"]))
-        return np.concatenate(embs), np.concatenate(logits)
+        # batch only equal-length clips: zero-padding a ragged batch adds
+        # silent frames that shift the time max/mean pooling — the reference
+        # runs batch 1 (eval.py:205-209), so features must be
+        # length-faithful per clip. Results reassemble in input order.
+        wavs = [load_wav_16k(p, self.target_length_centisec) for p in paths]
+        buckets: Dict[int, List[int]] = {}
+        for i, w in enumerate(wavs):
+            buckets.setdefault(len(w), []).append(i)
+        emb_out = [None] * len(paths)
+        logit_out = [None] * len(paths)
+        for _, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), batch):
+                sel = idxs[start : start + batch]
+                out = fn(np.stack([wavs[i] for i in sel]))
+                e = np.asarray(out["2048"])
+                l = np.asarray(out["logits"])
+                for j, i in enumerate(sel):
+                    emb_out[i] = e[j]
+                    logit_out[i] = l[j]
+        return np.stack(emb_out), np.stack(logit_out)
 
     # -- main ---------------------------------------------------------------
 
@@ -220,8 +231,12 @@ class EvaluationHelper:
         if same_name:
             lsd_vals, stft_ssim_vals, psnr_vals, ssim_vals = [], [], [], []
             for gp, rp in zip(gen_paths, ref_paths):
-                wav_gen = load_wav_16k(gp, self.target_length_centisec)
-                wav_ref = load_wav_16k(rp, self.target_length_centisec)
+                # the paired metrics run on FULL uncropped files — the
+                # reference MelPairedDataset never applies target_length
+                # (load_mel.py:73-99; only the Cnn14/VGGish WaveDataset
+                # crops) — and without the 2-s minimum pad
+                wav_gen = load_wav_16k(gp, None, pad_to_2s=False)
+                wav_ref = load_wav_16k(rp, None, pad_to_2s=False)
                 r = M.log_spectral_distance(wav_gen, wav_ref, self.sampling_rate)
                 lsd_vals.append(r["lsd"])
                 stft_ssim_vals.append(r["ssim_stft"])

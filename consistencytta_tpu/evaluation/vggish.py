@@ -152,6 +152,27 @@ def convert_vggish(sd) -> dict:
     return p
 
 
+def load_audio_fad(
+    path: str, target_centisec: int = 1000, target_sr: int = 16000
+) -> np.ndarray:
+    """The FAD loader (reference audioldm_eval/metrics/fad.py:22-36
+    load_audio_task): int16 read scaled by 32768, mono mean, integer-ratio
+    DECIMATION (else kaiser resample), head crop to target_centisec — and,
+    unlike the Cnn14 WaveDataset loader, NO mean-centering and NO 2-s
+    minimum pad."""
+    from consistencytta_tpu.io.audio import read_wav
+    from consistencytta_tpu.ops.resample import resample_numpy
+
+    wav, sr = read_wav(path)
+    wav = wav.astype(np.float32)
+    if sr != target_sr:
+        if sr % target_sr == 0:
+            wav = wav[:: sr // target_sr]
+        else:
+            wav = resample_numpy(wav, sr, target_sr)
+    return wav[: int(target_centisec * target_sr / 100)]
+
+
 def vggish_embeddings(
     paths: List[str], checkpoint: Optional[str], batch: int = 32
 ) -> Optional[np.ndarray]:
@@ -162,7 +183,6 @@ def vggish_embeddings(
     if not checkpoint or not os.path.exists(checkpoint):
         return None
 
-    from consistencytta_tpu.evaluation.harness import load_wav_16k
     from consistencytta_tpu.io.torch_import import load_torch_state_dict
 
     sd = load_torch_state_dict(checkpoint)
@@ -178,7 +198,7 @@ def vggish_embeddings(
     assert_params_match(params, expected, checkpoint)
     fn = jax.jit(lambda x: model.apply({"params": params}, x))
 
-    examples = [waveform_to_examples(load_wav_16k(p, 1000)) for p in paths]
+    examples = [waveform_to_examples(load_audio_fad(p, 1000)) for p in paths]
     all_ex = np.concatenate([e for e in examples if len(e)], axis=0)
     outs = []
     for start in range(0, len(all_ex), batch):

@@ -34,10 +34,17 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd and not any(
-        hasattr(v, "numpy") for v in sd.values() if v is not None
-    ):
-        sd = sd["state_dict"]
+    # descend into {"state_dict": {...}} / {"model": {...}} wrappers (the
+    # official Cnn14_16k_mAP=0.438.pth nests the weights under "model",
+    # panns models.py:249-250) when the top level itself holds no tensors
+    for wrapper in ("state_dict", "model"):
+        if (
+            isinstance(sd, dict)
+            and isinstance(sd.get(wrapper), dict)
+            and not any(hasattr(v, "numpy") for v in sd.values() if v is not None)
+        ):
+            sd = sd[wrapper]
+            break
     return {k: v.detach().cpu().numpy() for k, v in sd.items() if hasattr(v, "detach")}
 
 

@@ -306,3 +306,67 @@ class TestHTSATParity:
         got = np.asarray(reshape_mel_to_image(mel, cfg))[..., 0][:, None, :, :]
         # tiny bicubic accumulation-order differences vs torch (float32)
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+class TestRandTruncProtocol:
+    """The eval CLAP protocol's seeded random truncation
+    (audioldm_eval/eval.py:38-46 seed_all(0) before every embedding batch;
+    laion_clap/training/data.py:465-467 np.random.randint crop per long
+    clip). fit_length must reproduce the exact crop starts."""
+
+    def test_crop_start_pins_to_reference_chain(self):
+        from consistencytta_tpu.evaluation.clap_model import fit_length
+
+        n = 480_000
+        overflow = 37_013  # > 10-s clip at 48 kHz
+        wav = np.arange(n + overflow, dtype=np.float32)
+
+        # the reference chain: seed_all(0) -> np.random.randint(0, overflow+1)
+        np.random.seed(0)
+        expect_idx = int(np.random.randint(0, overflow + 1))
+
+        rs = np.random.RandomState(0)
+        got = fit_length(wav, n, rs)
+        assert got.shape == (n,)
+        assert int(got[0]) == expect_idx  # crop start == reference draw
+        np.testing.assert_array_equal(got, wav[expect_idx : expect_idx + n])
+
+    def test_sequential_draws_within_batch(self):
+        """Second long clip in a batch consumes the SECOND randint of the
+        seeded stream (the reference loops clips in order)."""
+        from consistencytta_tpu.evaluation.clap_model import fit_length
+
+        n, overflow = 1000, 177
+        wav = np.arange(n + overflow, dtype=np.float32)
+
+        np.random.seed(0)
+        first = int(np.random.randint(0, overflow + 1))
+        second = int(np.random.randint(0, overflow + 1))
+
+        rs = np.random.RandomState(0)
+        got1 = fit_length(wav, n, rs)
+        got2 = fit_length(wav, n, rs)
+        assert (int(got1[0]), int(got2[0])) == (first, second)
+        # short clips draw nothing: stream position unchanged by them
+        rs2 = np.random.RandomState(0)
+        fit_length(np.ones(10, np.float32), n, rs2)  # short, no draw
+        got1b = fit_length(wav, n, rs2)
+        assert int(got1b[0]) == first
+
+    def test_repeatpad_zero_tail(self):
+        """repeatpad repeats floor(n/len) times then ZERO-pads (data.py:
+        472-483) — not a cyclic tile."""
+        from consistencytta_tpu.evaluation.clap_model import fit_length
+
+        wav = np.array([1.0, 2.0, 3.0], np.float32)
+        got = fit_length(wav, 10)
+        np.testing.assert_array_equal(
+            got, np.array([1, 2, 3, 1, 2, 3, 1, 2, 3, 0], np.float32)
+        )
+
+    def test_exact_length_untouched_and_headcrop_default(self):
+        from consistencytta_tpu.evaluation.clap_model import fit_length
+
+        wav = np.arange(8, dtype=np.float32)
+        np.testing.assert_array_equal(fit_length(wav, 8), wav)
+        np.testing.assert_array_equal(fit_length(wav, 4), wav[:4])  # no rng
