@@ -20,6 +20,27 @@ from flax import linen as nn
 
 _GN_RELAYOUT_FREE = True
 
+# Single-pass normalization statistics (production bf16/TPU fast path):
+# var = E[x^2] - mean^2 instead of the two-pass sum((x - mean)^2). Removing
+# the stats' mean -> centered data dependency lets XLA sibling-fuse the sum
+# and sum-of-squares reductions into ONE read of the activation (the plain
+# formulation reads it three times: mean pass, variance pass, output pass),
+# and the output collapses to a per-channel affine x * a + b with
+# a = rstd * scale, b = bias - mean * a. fp32 accumulators over bf16 inputs;
+# not bit-identical to the two-pass form, so it is GATED exactly like the
+# other bf16 fast paths: fp32/CPU runs keep the literal reference
+# formulation (tolerance test: tests/test_norm_fastpath.py).
+# "auto" = bf16 input on a TPU backend; tests force "on"/"off".
+_NORM_SINGLE_PASS = "auto"
+
+
+def _single_pass_stats(orig_dtype) -> bool:
+    if _NORM_SINGLE_PASS == "on":
+        return True
+    if _NORM_SINGLE_PASS == "off":
+        return False
+    return orig_dtype == jnp.bfloat16 and _layers_on_tpu()
+
 
 def swish(x):
     return x * jax.nn.sigmoid(x)
@@ -102,10 +123,29 @@ class GroupNorm(nn.Module):
             mm = lambda a, b: jnp.matmul(
                 a, b, precision=jax.lax.Precision.HIGHEST
             )
+            bshape = (x32.shape[0],) + (1,) * len(spatial) + (c,)
+            if _single_pass_stats(orig_dtype):
+                # one fused read: sum and sum-of-squares have no data
+                # dependency, so XLA emits them as one multi-output
+                # reduction over the bf16 input
+                s1 = jnp.sum(x32, axis=spatial_axes)  # [B, C]
+                s2 = jnp.sum(x32 * x32, axis=spatial_axes)  # [B, C]
+                mean_g = mm(s1, ind) / size  # [B, G]
+                var_g = mm(s2, ind) / size - mean_g * mean_g  # [B, G]
+                rstd_g = jax.lax.rsqrt(
+                    jnp.maximum(var_g, 0.0) + self.epsilon
+                )  # [B, G]
+                mean_c = mm(mean_g, ind.T)  # [B, C]
+                rstd_c = mm(rstd_g, ind.T)  # [B, C]
+                a = rstd_c * scale[None, :]  # [B, C]
+                bch = bias[None, :] - mean_c * a  # [B, C]
+                out = x.astype(jnp.float32) * a.reshape(bshape) + bch.reshape(
+                    bshape
+                )
+                return out.astype(orig_dtype)
             s1 = jnp.sum(x32, axis=spatial_axes)  # [B, C]
             mean_g = mm(s1, ind) / size  # [B, G]
             mean_c = mm(mean_g, ind.T)  # [B, C]
-            bshape = (x32.shape[0],) + (1,) * len(spatial) + (c,)
             # Recompute (x - mean) in each consumer instead of binding it to
             # one variable: reusing a stored fp32 `centered` forces XLA to
             # materialize it (a ~1 GB tensor at the VAE decoder's final
@@ -143,6 +183,16 @@ class LayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         x32 = x.astype(jnp.float32)
+        if _single_pass_stats(orig_dtype):
+            # single-pass stats (see _NORM_SINGLE_PASS): mean and E[x^2]
+            # reduce in one fused read; output folds to x * a + b
+            mean = x32.mean(axis=-1, keepdims=True)
+            ex2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
+            rstd = jax.lax.rsqrt(var + self.epsilon)
+            a = rstd * scale
+            out = x32 * a + (bias - mean * a)
+            return out.astype(orig_dtype)
         mean = x32.mean(axis=-1, keepdims=True)
         var = x32.var(axis=-1, keepdims=True)
         out = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
