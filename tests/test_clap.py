@@ -30,14 +30,27 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def _mod(name):
+    """A stub module with a real ModuleSpec: a bare types.ModuleType leaves
+    __spec__ = None, which makes any later importlib.util.find_spec(name)
+    raise ValueError — transformers probes torchvision that way at import,
+    so spec-less stubs poison whichever test imports transformers next
+    (order-dependent quick-tier failures)."""
+    import importlib.machinery
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _stub_torchlibrosa():
     """Minimal stand-ins for the reference HTSAT's import-time deps
     (torchlibrosa, torchvision, h5py); none are called in these tests."""
     import torch.nn as tnn
 
-    tl = types.ModuleType("torchlibrosa")
-    stft = types.ModuleType("torchlibrosa.stft")
-    aug = types.ModuleType("torchlibrosa.augmentation")
+    tl = _mod("torchlibrosa")
+    stft = _mod("torchlibrosa.stft")
+    aug = _mod("torchlibrosa.augmentation")
 
     class _Noop(tnn.Module):
         def __init__(self, *a, **k):
@@ -57,20 +70,20 @@ def _stub_torchlibrosa():
     sys.modules.setdefault("torchlibrosa.augmentation", aug)
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        ops = types.ModuleType("torchvision.ops")
-        misc = types.ModuleType("torchvision.ops.misc")
+        tv = _mod("torchvision")
+        ops = _mod("torchvision.ops")
+        misc = _mod("torchvision.ops.misc")
         misc.FrozenBatchNorm2d = _Noop
         ops.misc = misc
         tv.ops = ops
-        transforms = types.ModuleType("torchvision.transforms")
+        transforms = _mod("torchvision.transforms")
         transforms.Resize = _Noop
         tv.transforms = transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
         sys.modules["torchvision.ops.misc"] = misc
         sys.modules["torchvision.transforms"] = transforms
-    sys.modules.setdefault("h5py", types.ModuleType("h5py"))
+    sys.modules.setdefault("h5py", _mod("h5py"))
 
 
 def _import_reference_htsat():
@@ -111,6 +124,7 @@ class TestBicubic:
 
 
 class TestRobertaParity:
+    @pytest.mark.slow  # builds the full HF RobertaModel twin (~21 s)
     def test_pooler_matches_hf(self, rng):
         import torch
         from transformers import RobertaConfig as HFConfig

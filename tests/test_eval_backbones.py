@@ -135,6 +135,7 @@ class TestCnn14:
             np.asarray(got_logits), want_logits.numpy(), atol=3e-3, rtol=1e-3
         )
 
+    @pytest.mark.slow  # ~9 s; conv_stack_parity stays quick
     def test_full_model_shapes(self, rng):
         import jax
 

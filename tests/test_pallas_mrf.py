@@ -36,22 +36,28 @@ def _make_level(rng, s, c, scale=0.08):
     return kernels, biases
 
 
+# Quick tier keeps one unfolded + one batch-folded representative; the
+# remaining geometry edges run in the full suite (slow) and the compiled
+# kernels run against hardware in tpu_tests/.
+_slow = pytest.mark.slow
+
+
 @pytest.mark.parametrize(
     "s,m,b",
     [
         (2, 300, 2),   # C=64 blocked level, ragged second tile
-        (2, 256, 2),   # single tile, halo fully masked
-        (4, 264, 2),   # C=32 blocked level
-        (1, 300, 2),   # C=128 plain level (tap stride = dilation)
-        (2, 513, 2),   # 3 tiles (256 + 256 + ragged 1)
+        pytest.param(2, 256, 2, marks=_slow),  # single tile, halo masked
+        pytest.param(4, 264, 2, marks=_slow),  # C=32 blocked level
+        pytest.param(1, 300, 2, marks=_slow),  # C=128 plain level
+        pytest.param(2, 513, 2, marks=_slow),  # 3 tiles (256+256+ragged 1)
         # B % 8 == 0: batch-folded path (transposed [M, B, 128] blocks,
         # [TM*8, 128] flat tiles, sublane-aligned tap slices)
-        (2, 300, 8),
-        (4, 264, 8),
+        pytest.param(2, 300, 8, marks=_slow),
+        pytest.param(4, 264, 8, marks=_slow),
         (2, 513, 8),
         # single tile at bf=8: both narrow halo fetches are clamped +
         # fully masked (the n_tiles == 1 edge of the halo-block indexing)
-        (2, 256, 8),
+        pytest.param(2, 256, 8, marks=_slow),
     ],
 )
 def test_fused_mrf_interpret_matches_plain(s, m, b):
@@ -67,6 +73,7 @@ def test_fused_mrf_interpret_matches_plain(s, m, b):
     )
 
 
+@pytest.mark.slow  # interpret-mode forward inside grad: ~25 s
 def test_fused_mrf_vjp_matches_plain():
     """The custom VJP routes through plain_mrf_level — grads must equal
     autodiff of the plain formulation exactly."""

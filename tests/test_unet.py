@@ -89,6 +89,8 @@ class TestUNetParity:
         assert config.guided
         _port_and_compare(torch_model, config, guided=True, rng=rng)
 
+    @pytest.mark.slow  # ~27 s; quick tier keeps UNet coverage via
+    # test_generate's full-pipeline compile + determinism tests
     def test_plain_teacher_unet_small(self, rng):
         import torch
 

@@ -183,6 +183,7 @@ class TestFTVAEDecoderImport:
     extract_ftvae_decoders + convert_vae_decoder_pair must reproduce the
     reference's decode(use_ema=...) for both halves."""
 
+    @pytest.mark.slow  # ~9 s; the FTVAE chain test also covers this path
     def test_extract_and_decode_parity(self):
         import torch
         from copy import deepcopy
