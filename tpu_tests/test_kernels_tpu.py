@@ -178,3 +178,34 @@ def test_fused_mrf_level_compiled_matches_xla():
         )
         ref = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
         assert err / ref < 3e-2, (s, m, err / ref)
+
+
+def test_single_pass_norm_stats_on_device():
+    """The production single-pass GN/LN statistics fast path (gated ON for
+    bf16 on this backend) vs the literal two-pass formulation, compiled and
+    compared ON DEVICE at a production GN shape — guards the E[x^2]-mean^2
+    restructure against TPU reduce/fusion semantics, not just the CPU
+    interpreter (tests/test_norm_fastpath.py covers that)."""
+    import consistencytta_tpu.nn.layers as L
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 256, 64, 128)), jnp.bfloat16)
+    gn = L.GroupNorm(num_groups=32, epsilon=1e-6)
+    params = {
+        "params": {
+            "scale": jnp.linspace(0.5, 1.5, 128).astype(jnp.float32),
+            "bias": jnp.linspace(-1.0, 1.0, 128).astype(jnp.float32),
+        }
+    }
+    assert L._single_pass_stats(jnp.bfloat16) is True  # gate live on TPU
+    fast = jax.jit(lambda p, xx: gn.apply(p, xx))(params, x)
+    prev = L._NORM_SINGLE_PASS
+    L._NORM_SINGLE_PASS = "off"
+    try:
+        ref = jax.jit(lambda p, xx: gn.apply(p, xx))(params, x)
+    finally:
+        L._NORM_SINGLE_PASS = prev
+    diff = float(
+        jnp.max(jnp.abs(fast.astype(jnp.float32) - ref.astype(jnp.float32)))
+    )
+    assert diff <= 0.04, diff  # a couple of bf16 ulps on O(1) outputs
