@@ -101,6 +101,76 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def consistency_step_config_from_args(args):
+    """args -> the stage-2/3 step config the jitted step consumes.
+
+    Module-level (not inlined in main) so the flag audit can assert
+    BEHAVIORALLY that each recipe flag lands in the artifact
+    (tests/test_flag_audit.py) — mirroring how the reference threads
+    train.py args into AudioLCM's constructor (reference train.py:331-358)."""
+    from consistencytta_tpu.training.step import ConsistencyStepConfig
+
+    return ConsistencyStepConfig(
+        snr_gamma=args.snr_gamma,
+        teacher_guidance_scale=args.teacher_guidance_scale,
+        target_ema_decay=args.target_ema_decay,
+        ema_decay=args.ema_decay,
+        loss_type=args.loss_type if args.loss_type != "clap" else "mse",
+        use_edm=args.use_edm,
+        accum_steps=args.gradient_accumulation_steps,
+        remat_student=not args.no_remat,
+        uncondition=args.uncondition,
+    )
+
+
+def guided_step_config_from_args(args):
+    """args -> the stage-1 step config (reference train.py:318-330)."""
+    from consistencytta_tpu.training.step import GuidedStepConfig
+
+    return GuidedStepConfig(
+        snr_gamma=args.snr_gamma,
+        teacher_guidance_scale=args.teacher_guidance_scale,
+        ema_decay=args.ema_decay,
+        accum_steps=args.gradient_accumulation_steps,
+    )
+
+
+def optimizer_config_from_args(args, max_steps):
+    """args -> OptimizerConfig (reference train.py:364-377 AdamW wiring +
+    tools/train_utils.py get_scheduler)."""
+    from consistencytta_tpu.training.optim import OptimizerConfig
+
+    return OptimizerConfig(
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon,
+        weight_decay=args.adam_weight_decay,
+        num_warmup_steps=args.num_warmup_steps,
+        max_train_steps=max_steps,
+        lr_scheduler_type=args.lr_scheduler_type,
+    )
+
+
+def schedule_from_args(args, scheduler_config):
+    """args -> the solver schedule the step consumes: DDPM for stage 1,
+    Heun(/Karras) for --use_edm stage 2, DDIM otherwise
+    (reference train.py:306-316, inference_scheduler selection)."""
+    from consistencytta_tpu.ops.schedulers import (
+        make_ddim_schedule,
+        make_ddpm_schedule,
+        make_heun_schedule,
+    )
+
+    if args.stage == 1:
+        return make_ddpm_schedule(scheduler_config)
+    if args.use_edm:
+        return make_heun_schedule(
+            scheduler_config, args.num_diffusion_steps, args.use_karras
+        )
+    return make_ddim_schedule(scheduler_config, args.num_diffusion_steps)
+
+
 def main(argv=None):
     from cli.common import (
         append_config_replay,
@@ -108,11 +178,6 @@ def main(argv=None):
         load_frozen_and_roles,
     )
     from consistencytta_tpu.models.pipeline import Pipeline, PipelineParams
-    from consistencytta_tpu.ops.schedulers import (
-        make_ddim_schedule,
-        make_ddpm_schedule,
-        make_heun_schedule,
-    )
     from consistencytta_tpu.parallel.mesh import (
         make_mesh,
         device_put_replicated,
@@ -122,10 +187,8 @@ def main(argv=None):
     from consistencytta_tpu.text.tokenizer import load_tokenizer
     from consistencytta_tpu.training.data import DataLoader, T2ADataset
     from consistencytta_tpu.training.loop import LoopConfig, train_loop
-    from consistencytta_tpu.training.optim import OptimizerConfig, make_optimizer
+    from consistencytta_tpu.training.optim import make_optimizer
     from consistencytta_tpu.training.step import (
-        ConsistencyStepConfig,
-        GuidedStepConfig,
         TrainState,
         build_consistency_train_step,
         build_guided_train_step,
@@ -236,53 +299,22 @@ def main(argv=None):
     # optimizer
     steps_per_epoch = max(len(train_ds) // global_batch, 1)
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
-    tx = make_optimizer(
-        OptimizerConfig(
-            learning_rate=args.learning_rate,
-            adam_beta1=args.adam_beta1,
-            adam_beta2=args.adam_beta2,
-            adam_epsilon=args.adam_epsilon,
-            weight_decay=args.adam_weight_decay,
-            num_warmup_steps=args.num_warmup_steps,
-            max_train_steps=max_steps,
-            lr_scheduler_type=args.lr_scheduler_type,
-        )
-    )
+    tx = make_optimizer(optimizer_config_from_args(args, max_steps))
 
     # steps
     if args.stage == 1:
         if args.use_lora:
             raise ValueError("--use_lora applies to stage 2/3 only")
-        sched = make_ddpm_schedule(config.scheduler)
-        step_cfg1 = GuidedStepConfig(
-            snr_gamma=args.snr_gamma,
-            teacher_guidance_scale=args.teacher_guidance_scale,
-            ema_decay=args.ema_decay,
-            accum_steps=args.gradient_accumulation_steps,
-        )
+        sched = schedule_from_args(args, config.scheduler)
+        step_cfg1 = guided_step_config_from_args(args)
         step_fn = build_guided_train_step(pipeline, sched, tx, step_cfg1)
         validate_fn = jax.jit(
             build_guided_validation_step(pipeline, sched, step_cfg1)
         )
         state = TrainState.create(params, tx, with_target=False)
     else:
-        if args.use_edm:
-            sched = make_heun_schedule(
-                config.scheduler, args.num_diffusion_steps, args.use_karras
-            )
-        else:
-            sched = make_ddim_schedule(config.scheduler, args.num_diffusion_steps)
-        step_cfg = ConsistencyStepConfig(
-            snr_gamma=args.snr_gamma,
-            teacher_guidance_scale=args.teacher_guidance_scale,
-            target_ema_decay=args.target_ema_decay,
-            ema_decay=args.ema_decay,
-            loss_type=args.loss_type if args.loss_type != "clap" else "mse",
-            use_edm=args.use_edm,
-            accum_steps=args.gradient_accumulation_steps,
-            remat_student=not args.no_remat,
-            uncondition=args.uncondition,
-        )
+        sched = schedule_from_args(args, config.scheduler)
+        step_cfg = consistency_step_config_from_args(args)
 
         loss_override = None
         # one clip policy for every CLAP-tower consumer (plain stage-3 loss
