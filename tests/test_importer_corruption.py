@@ -27,21 +27,35 @@ def _save_torch(sd, path):
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
 
 
+# The synthetic checkpoints carry REAL shapes (conv_block6 alone is a
+# 2048x1024x3x3 tensor), so generating one costs seconds — build each once
+# per module; tests corrupt a SHALLOW dict copy (they only delete/replace
+# top-level entries, never mutate arrays in place).
+@pytest.fixture(scope="module")
+def cnn14_sd():
+    return make_cnn14_state_dict()
+
+
+@pytest.fixture(scope="module")
+def vggish_sd():
+    return make_vggish_state_dict()
+
+
 class TestCnn14Corruption:
-    def test_missing_key_named(self):
+    def test_missing_key_named(self, cnn14_sd):
         from consistencytta_tpu.evaluation.panns import convert_cnn14
 
-        sd = make_cnn14_state_dict()
+        sd = dict(cnn14_sd)
         del sd["conv_block3.conv1.weight"]
         with pytest.raises(KeyError, match="conv_block3.conv1.weight"):
             convert_cnn14(sd)
 
-    def test_wrong_shape_named_via_helper(self, tmp_path):
+    def test_wrong_shape_named_via_helper(self, tmp_path, cnn14_sd):
         """End-to-end through EvaluationHelper's loader: a truncated fc1
         must raise with the parameter path and both shapes, not reach XLA."""
         from consistencytta_tpu.evaluation.harness import EvaluationHelper
 
-        sd = make_cnn14_state_dict()
+        sd = dict(cnn14_sd)
         sd["fc1.weight"] = sd["fc1.weight"][:, :1024]  # 2048x2048 -> 2048x1024
         ckpt = str(tmp_path / "cnn14_bad.pth")
         _save_torch(sd, ckpt)
@@ -52,10 +66,10 @@ class TestCnn14Corruption:
         with pytest.raises(ValueError, match=r"fc1"):
             helper._get_cnn14()
 
-    def test_renamed_key_named_via_helper(self, tmp_path):
+    def test_renamed_key_named_via_helper(self, tmp_path, cnn14_sd):
         from consistencytta_tpu.evaluation.harness import EvaluationHelper
 
-        sd = make_cnn14_state_dict()
+        sd = dict(cnn14_sd)
         sd["conv_block2.convA.weight"] = sd.pop("conv_block2.conv1.weight")
         ckpt = str(tmp_path / "cnn14_renamed.pth")
         _save_torch(sd, ckpt)
@@ -68,19 +82,19 @@ class TestCnn14Corruption:
 
 
 class TestVGGishCorruption:
-    def test_missing_key_named(self):
+    def test_missing_key_named(self, vggish_sd):
         from consistencytta_tpu.evaluation.vggish import convert_vggish
 
-        sd = make_vggish_state_dict()
+        sd = dict(vggish_sd)
         del sd["embeddings.2.weight"]
         with pytest.raises(KeyError, match="embeddings.2.weight"):
             convert_vggish(sd)
 
-    def test_wrong_shape_named_via_embeddings(self, tmp_path):
+    def test_wrong_shape_named_via_embeddings(self, tmp_path, vggish_sd):
         from consistencytta_tpu.evaluation.vggish import vggish_embeddings
         from consistencytta_tpu.io.audio import write_wav
 
-        sd = make_vggish_state_dict()
+        sd = dict(vggish_sd)
         # transposed conv tensor: transposes fine, must still be caught
         sd["features.6.weight"] = np.transpose(
             sd["features.6.weight"], (1, 0, 2, 3)
