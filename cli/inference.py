@@ -100,6 +100,21 @@ def apply_config_replay(args, replay: dict):
     return args
 
 
+def generate_config_from_args(args):
+    """args -> the static GenerateConfig baked into the stage-2/3 jitted
+    graph (reference inference.py:154-170 scheduler/ema/CFG selection).
+    Module-level so the behavioral flag audit can assert each eval flag
+    lands in the compiled-graph config (tests/test_flag_audit.py)."""
+    from consistencytta_tpu.inference.generate import GenerateConfig
+
+    return GenerateConfig(
+        num_steps=args.num_steps,
+        guidance_post=args.guidance_scale_post,
+        use_ema=args.use_ema,
+        use_edm=args.use_edm,
+    )
+
+
 def main(argv=None):
     from cli.common import (
         build_pipeline_config,
@@ -107,7 +122,6 @@ def main(argv=None):
         read_config_replay,
     )
     from consistencytta_tpu.inference.generate import (
-        GenerateConfig,
         build_generate_fn,
         build_teacher_generate_fn,
     )
@@ -156,13 +170,7 @@ def main(argv=None):
             use_edm=args.use_edm,
         )
     else:
-        gen_cfg = GenerateConfig(
-            num_steps=args.num_steps,
-            guidance_post=args.guidance_scale_post,
-            use_ema=args.use_ema,
-            use_edm=args.use_edm,
-        )
-        generate = build_generate_fn(pipeline, gen_cfg)
+        generate = build_generate_fn(pipeline, generate_config_from_args(args))
     teacher_generate = (
         build_teacher_generate_fn(pipeline, args.num_teacher_steps, args.use_edm)
         if args.query_teacher

@@ -279,3 +279,23 @@ def test_optimizer_flags_change_the_update():
 
     assert not np.allclose(two_updates("--adam_beta2", "0.5"), two_updates())
     assert not np.allclose(two_updates("--adam_beta1", "0.5"), two_updates())
+
+
+def test_inference_flags_land_in_generate_config():
+    """Eval-protocol flags (inference.sh:1-27) land in the GenerateConfig
+    baked into the compiled stage-2/3 graph."""
+    import cli.inference as cli_inf
+
+    args = cli_inf.parse_args(
+        ["--num_steps", "2", "--guidance_scale_post", "3.0", "--use_edm",
+         "--use_ema"]
+    )
+    cfg = cli_inf.generate_config_from_args(args)
+    assert cfg.num_steps == 2
+    assert cfg.guidance_post == 3.0
+    assert cfg.use_edm is True
+    assert cfg.use_ema is True
+
+    default = cli_inf.generate_config_from_args(cli_inf.parse_args([]))
+    assert (default.num_steps, default.guidance_post, default.use_edm,
+            default.use_ema) == (1, 1.0, False, False)
